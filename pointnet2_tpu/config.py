@@ -1,0 +1,60 @@
+"""Global implementation dispatch for the core point ops.
+
+Each core op (FPS, ball query, ...) has two interchangeable implementations:
+
+- ``"xla"``    — pure jax.numpy / lax, runs anywhere (CPU tests, TPU), and is
+  the semantic reference.
+- ``"pallas"`` — hand-written Pallas TPU kernel, VMEM-resident, used on TPU
+  for performance. On non-TPU backends Pallas kernels run in interpreter
+  mode so the same code path stays testable on CPU.
+
+``"auto"`` (the default) resolves to ``"pallas"`` on TPU and ``"xla"``
+elsewhere. Tests override via :func:`set_default_impl` to force both paths.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+_DEFAULT_IMPL = "auto"
+
+_VALID = ("auto", "xla", "pallas")
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in _VALID:
+        raise ValueError(f"impl must be one of {_VALID}, got {impl!r}")
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def resolve_impl(impl: str | None) -> str:
+    """Resolve an op-level impl argument to a concrete implementation."""
+    impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl not in _VALID:
+        raise ValueError(f"impl must be one of {_VALID}, got {impl!r}")
+    return impl
+
+
+def interpret_mode() -> bool:
+    """Whether Pallas kernels should run in interpreter mode (non-TPU)."""
+    return jax.default_backend() != "tpu"
+
+
+@contextlib.contextmanager
+def default_impl(impl: str):
+    """Context manager to temporarily force an implementation."""
+    prev = _DEFAULT_IMPL
+    set_default_impl(impl)
+    try:
+        yield
+    finally:
+        set_default_impl(prev)

@@ -1,0 +1,16 @@
+"""Core point-cloud ops (TPU-native; Pallas kernels with XLA fallbacks)."""
+
+from pointnet2_tpu.ops.sampling import (  # noqa: F401
+    farthest_point_sample,
+    gather_point,
+    prob_sample,
+)
+from pointnet2_tpu.ops.grouping import (  # noqa: F401
+    query_ball_point,
+    group_point,
+    knn_point,
+)
+from pointnet2_tpu.ops.interpolate import (  # noqa: F401
+    three_nn,
+    three_interpolate,
+)

@@ -1,0 +1,119 @@
+"""Grouping ops: fixed-radius ball query, neighbor gather, kNN.
+
+TPU-native re-implementations of the reference grouping op library
+(/root/reference/tf_ops/grouping/tf_grouping.cpp:13-63 and
+tf_grouping_g.cu), with reference-exact semantics:
+
+- ``query_ball_point``: for each query, the indices of the FIRST `nsample`
+  dataset points (in scan order k=0..n-1) with Euclidean distance < radius;
+  remaining slots are padded with the first hit so that max-pooling over the
+  group ignores padding (tf_grouping_g.cu:14-33). Also returns the number of
+  in-ball points, capped at nsample. Index-producing — no gradient.
+- ``group_point``: gathers (b,m,nsample,c) neighbor features from (b,n,c) by
+  (b,m,nsample) indices; gradient is a deterministic scatter-add
+  (tf_grouping_g.cu:40-78 — the reference uses atomicAdd; here XLA scatter,
+  no atomics, no races).
+- ``knn_point``: k nearest neighbors by squared distance, ties broken by
+  lowest index — replaces the reference's SelectionSort kernel
+  (tf_grouping_g.cu:83-123) with `lax.top_k`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pointnet2_tpu import config
+
+
+def _pairwise_sqdist(xyz2: jax.Array, xyz1: jax.Array) -> jax.Array:
+    """Squared distances (B, M, N) between queries xyz2 (B,M,3) and dataset
+    xyz1 (B,N,3), computed by explicit differences (exact, fusible)."""
+    diff = xyz2[:, :, None, :] - xyz1[:, None, :, :]
+    return jnp.sum(jnp.square(diff), axis=-1)
+
+
+def _ball_query_xla(radius, nsample, xyz1, xyz2):
+    B, N, _ = xyz1.shape
+    d2 = _pairwise_sqdist(xyz2, xyz1)  # (B, M, N)
+    # d = max(sqrt(d2), 1e-20) < radius  <=>  d2 < radius**2 (radius > 1e-20)
+    mask = d2 < jnp.float32(radius) ** 2
+    col = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2)
+    keys = jnp.where(mask, col, N)
+    if nsample > N:  # fewer dataset points than slots: pad with misses
+        keys = jnp.pad(keys, ((0, 0), (0, 0), (0, nsample - N)),
+                       constant_values=N)
+    # nsample smallest keys ascending == first nsample hits in scan order.
+    idx = -jax.lax.top_k(-keys, nsample)[0]  # (B, M, nsample)
+    cnt = jnp.minimum(jnp.sum(mask, axis=-1), nsample).astype(jnp.int32)
+    first = idx[..., :1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    idx = jnp.where(slot < cnt[..., None], idx, first)
+    idx = jnp.where(first == N, 0, idx)  # no point in ball: define as 0
+    return idx.astype(jnp.int32), cnt
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "impl"))
+def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Array,
+                     impl: str | None = None):
+    """Fixed-radius near-neighbor search with padded fixed-size output.
+
+    Args:
+      radius: ball radius (Euclidean).
+      nsample: max neighbors per ball.
+      xyz1: (B, N, 3) dataset points.
+      xyz2: (B, M, 3) query points.
+    Returns:
+      idx: (B, M, nsample) int32 indices into N (first-nsample-in-scan-order,
+        padded with the first hit).
+      pts_cnt: (B, M) int32 number of in-ball points, capped at nsample.
+    """
+    resolved = config.resolve_impl(impl)
+    if resolved == "pallas":
+        from pointnet2_tpu.ops.pallas.ball_query import ball_query_pallas
+
+        return ball_query_pallas(radius, nsample, xyz1, xyz2)
+    return _ball_query_xla(radius, nsample, xyz1, xyz2)
+
+
+@jax.custom_vjp
+def group_point(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor features: points (B,N,C), idx (B,M,S) -> (B,M,S,C).
+
+    Gradient w.r.t. points is a deterministic scatter-add (replaces the
+    atomicAdd kernel at tf_grouping_g.cu:61-78); idx gets none.
+    """
+    return jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+
+
+def _group_point_fwd(points, idx):
+    return group_point(points, idx), (idx, points.shape[1])
+
+
+def _group_point_bwd(res, g):
+    idx, n = res
+    B, M, S, C = g.shape
+    flat_g = g.reshape(B, M * S, C)
+    flat_idx = idx.reshape(B, M * S)
+    grad = jnp.zeros((B, n, C), g.dtype)
+    grad = grad.at[jnp.arange(B)[:, None], flat_idx].add(flat_g)
+    return grad, None
+
+
+group_point.defvjp(_group_point_fwd, _group_point_bwd)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_point(k: int, xyz1: jax.Array, xyz2: jax.Array):
+    """k nearest neighbors of each query in the dataset.
+
+    xyz1: (B, N, C) dataset; xyz2: (B, M, C) queries.
+    Returns (val, idx): (B, M, k) squared distances ascending and indices,
+    ties broken by lowest index (parity with the reference's stable
+    SelectionSort, tf_grouping_g.cu:100-122).
+    """
+    d2 = _pairwise_sqdist(xyz2, xyz1)  # (B, M, N)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx.astype(jnp.int32)

@@ -1,0 +1,70 @@
+"""3D interpolation ops: three-NN search and inverse-distance interpolation.
+
+TPU-native re-implementations of the reference 3d_interpolation op library
+(/root/reference/tf_ops/3d_interpolation/tf_interpolate.cpp). Note the
+reference registers these CPU-only — every feature-propagation layer
+round-trips GPU->CPU->GPU in the original. Here everything stays on-device.
+
+Semantics parity:
+- ``three_nn`` returns SQUARED distances (tf_interpolate.cpp:73), 3 smallest
+  with ties broken by lowest index (stable insertion, :74-89). No gradient
+  (tf_interpolate.py: `ops.NoGradient('ThreeNN')`).
+- ``three_interpolate`` computes out[j] = sum_i points[idx[j,i]] * w[j,i]
+  (tf_interpolate.cpp:107-127). The reference backpropagates only into
+  `points` (tf_interpolate.py:29-34 returns None for idx/weight); here the
+  weight gradient is also defined (harmless — callers stop_gradient weights
+  for exact parity), and the points gradient is a deterministic scatter-add.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def three_nn(xyz1: jax.Array, xyz2: jax.Array):
+    """3 nearest neighbors of each unknown point among known points.
+
+    xyz1: (B, N, 3) unknown (dense) points; xyz2: (B, M, 3) known (sparse).
+    Returns (dist, idx): (B, N, 3) squared distances ascending, (B, N, 3)
+    int32 indices into M.
+    """
+    diff = xyz1[:, :, None, :] - xyz2[:, None, :, :]
+    d2 = jnp.sum(jnp.square(diff), axis=-1)  # (B, N, M)
+    neg, idx = jax.lax.top_k(-d2, 3)
+    return -neg, idx.astype(jnp.int32)
+
+
+@jax.custom_vjp
+def three_interpolate(points: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
+    """Weighted 3-point interpolation.
+
+    points: (B, M, C) known features; idx: (B, N, 3) int32; weight: (B, N, 3).
+    Returns (B, N, C).
+    """
+    gathered = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def _three_interpolate_fwd(points, idx, weight):
+    return three_interpolate(points, idx, weight), (points, idx, weight)
+
+
+def _three_interpolate_bwd(res, g):
+    points, idx, weight = res
+    B, M, C = points.shape
+    N = idx.shape[1]
+    # grad wrt points: scatter-add of g * w over the 3 neighbors
+    # (deterministic XLA scatter; replaces tf_interpolate.cpp:131-153).
+    contrib = (g[:, :, None, :] * weight[..., None]).reshape(B, N * 3, C)
+    flat_idx = idx.reshape(B, N * 3)
+    grad_points = jnp.zeros((B, M, C), g.dtype)
+    grad_points = grad_points.at[jnp.arange(B)[:, None], flat_idx].add(contrib)
+    # grad wrt weight: <g, points[idx]> per neighbor.
+    gathered = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+    grad_weight = jnp.sum(gathered * g[:, :, None, :], axis=-1)
+    return grad_points, None, grad_weight
+
+
+three_interpolate.defvjp(_three_interpolate_fwd, _three_interpolate_bwd)

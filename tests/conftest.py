@@ -1,0 +1,33 @@
+"""Test configuration: run hermetically on CPU with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual 8-device CPU mesh;
+Pallas kernels run via the interpreter. Real-TPU checks live in
+benchmarks/ and are run explicitly, not by the default suite.
+
+The environment may pre-register a TPU PJRT plugin via sitecustomize
+*before* any user code runs (pinning JAX_PLATFORMS at import), so an
+env-var override here would be ignored. Instead we flip the platform
+through jax.config after import — legal because no backend has been
+initialized yet at conftest-load time. Set RUN_TESTS_ON_TPU=1 to run the
+suite against the real chip instead.
+"""
+
+import os
+
+if not os.environ.get("RUN_TESTS_ON_TPU"):
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1234)

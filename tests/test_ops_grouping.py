@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_tpu.ops import group_point, knn_point, query_ball_point
+from tests import golden
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "B,N,M,radius,nsample",
+    [(2, 128, 32, 0.4, 16), (3, 100, 17, 0.2, 8), (2, 256, 64, 0.1, 32)],
+)
+def test_ball_query_matches_golden(rng, impl, B, N, M, radius, nsample):
+    xyz1 = rng.rand(B, N, 3).astype(np.float32)
+    qidx = rng.randint(0, N, (B, M))
+    xyz2 = np.stack([xyz1[b][qidx[b]] for b in range(B)])
+    idx, cnt = query_ball_point(radius, nsample, jnp.asarray(xyz1),
+                                jnp.asarray(xyz2), impl=impl)
+    widx, wcnt = golden.ball_query_np(radius, nsample, xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(cnt), wcnt)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_ball_query_pad_with_first_hit(impl):
+    # one dataset point inside the ball => all slots point at it
+    xyz1 = jnp.asarray([[[0.0, 0, 0], [5.0, 5, 5], [0.01, 0, 0]]])
+    xyz2 = jnp.asarray([[[0.0, 0, 0]]])
+    idx, cnt = query_ball_point(0.1, 4, xyz1, xyz2, impl=impl)
+    # hits 0 and 2 in scan order; remaining slots padded with first hit (0)
+    np.testing.assert_array_equal(np.asarray(idx), [[[0, 2, 0, 0]]])
+    np.testing.assert_array_equal(np.asarray(cnt), [[2]])
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_ball_query_empty_ball(impl):
+    xyz1 = jnp.asarray([[[5.0, 5, 5], [6.0, 6, 6]]])
+    xyz2 = jnp.asarray([[[0.0, 0, 0]]])
+    idx, cnt = query_ball_point(0.1, 3, xyz1, xyz2, impl=impl)
+    np.testing.assert_array_equal(np.asarray(cnt), [[0]])
+    np.testing.assert_array_equal(np.asarray(idx), [[[0, 0, 0]]])
+
+
+def test_group_point_forward(rng):
+    pts = rng.randn(2, 16, 5).astype(np.float32)
+    idx = rng.randint(0, 16, (2, 4, 3)).astype(np.int32)
+    got = np.asarray(group_point(jnp.asarray(pts), jnp.asarray(idx)))
+    assert got.shape == (2, 4, 3, 5)
+    for b in range(2):
+        np.testing.assert_allclose(got[b], pts[b][idx[b]])
+
+
+def test_group_point_grad_scatter_add(rng):
+    pts = rng.randn(1, 6, 2).astype(np.float32)
+    idx = np.array([[[0, 0, 2], [2, 5, 5]]], np.int32)
+
+    def f(p):
+        return jnp.sum(group_point(p, jnp.asarray(idx)))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(pts)))
+    want = np.zeros_like(pts)
+    counts = {0: 2, 2: 2, 5: 2}
+    for k, v in counts.items():
+        want[0, k] = v
+    np.testing.assert_allclose(g, want)
+
+
+def test_group_point_numeric_gradient(rng):
+    """Numeric-vs-analytic gradient check through ball-query indices
+    (mirrors the reference's tf_grouping_op_test.py:9-25)."""
+    xyz1 = rng.rand(1, 32, 3).astype(np.float32)
+    xyz2 = xyz1[:, :8]
+    idx, _ = query_ball_point(0.3, 4, jnp.asarray(xyz1), jnp.asarray(xyz2),
+                              impl="xla")
+    pts = rng.randn(1, 32, 6).astype(np.float32)
+
+    def f(p):
+        return jnp.sum(jnp.sin(group_point(p, idx)))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(pts)))
+    eps = 1e-3
+    for _ in range(10):
+        i, j = rng.randint(0, 32), rng.randint(0, 6)
+        p1, p2 = pts.copy(), pts.copy()
+        p1[0, i, j] += eps
+        p2[0, i, j] -= eps
+        num = (f(jnp.asarray(p1)) - f(jnp.asarray(p2))) / (2 * eps)
+        np.testing.assert_allclose(g[0, i, j], num, atol=1e-2)
+
+
+def test_knn_matches_golden(rng):
+    xyz1 = rng.rand(2, 64, 3).astype(np.float32)
+    xyz2 = rng.rand(2, 16, 3).astype(np.float32)
+    val, idx = knn_point(8, jnp.asarray(xyz1), jnp.asarray(xyz2))
+    wval, widx = golden.knn_np(8, xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+    np.testing.assert_allclose(np.asarray(val), wval, rtol=1e-5, atol=1e-6)
