@@ -1,0 +1,99 @@
+"""Headline benchmark: pointnet2_cls_ssg training throughput, clouds/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the full data-parallel train step (forward + backward + optimizer +
+on-device augmentation) of the flagship classifier at the reference's
+ModelNet40 configuration (1024 points, global batch 32) on the available
+device(s).
+
+Baseline: the reference repo publishes no throughput numbers
+(SURVEY.md §6). We anchor vs_baseline to an estimated 600 clouds/sec for the
+reference TF1+CUDA trainer on its contemporaneous single GPU (batch 16,
+~40 ms/step — consistent with community reports for pointnet2 training);
+treat vs_baseline as an estimate against that fixed anchor, while `value`
+(clouds/sec/chip) is the precise cross-round tracking metric.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLOUDS_PER_SEC = 600.0
+
+BATCH = 32
+NPOINTS = 1024
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def main() -> None:
+    from pointnet2_tpu.models import MODEL_REGISTRY
+    from pointnet2_tpu.parallel.mesh import (
+        make_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+    from pointnet2_tpu.train.schedules import (
+        bn_momentum_schedule,
+        exponential_decay_clipped,
+    )
+    from pointnet2_tpu.train.state import TrainState, make_optimizer
+    from pointnet2_tpu.train.steps import make_train_step
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
+    model = spec.cls()
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(rng.rand(BATCH, NPOINTS, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 40, (BATCH,)).astype(np.int32)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["points"], train=False)
+    lr = exponential_decay_clipped(1e-3, BATCH, 200000, 0.7)
+    tx = make_optimizer("adam", lr)
+    bn_fn = bn_momentum_schedule(BATCH, 200000)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_train_step(model, spec.loss, tx, bn_fn, task="cls", mesh=mesh,
+                           augment="cls")
+    device_batch = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(0)
+
+    for i in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, device_batch, sub)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, device_batch, sub)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = BATCH * MEASURE_STEPS / dt
+    per_chip = clouds_per_sec / n_dev
+    print(json.dumps({
+        "metric": "train_clouds_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clouds/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_CLOUDS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Loss functions shared by the model families.
+
+Parity with the reference get_loss definitions:
+- classification / part-seg: mean sparse softmax cross-entropy
+  (models/pointnet2_cls_ssg.py:47-54, models/pointnet2_part_seg.py:44-51).
+- semantic seg: weighted CE with sum(w*ce)/count_nonzero(w) reduction,
+  matching tf.losses.sparse_softmax_cross_entropy's default
+  SUM_BY_NONZERO_WEIGHTS (models/pointnet2_sem_seg.py:48-55).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """logits (B, C), labels (B,) int -> scalar mean CE."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+
+
+def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """logits (B, N, C), labels (B, N) int -> scalar mean per-point CE."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+
+
+def weighted_segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                               smpw: jnp.ndarray) -> jnp.ndarray:
+    """Per-point weighted CE, normalized by the number of nonzero weights."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    num = jnp.sum(ce * smpw)
+    den = jnp.maximum(jnp.sum(smpw != 0), 1)
+    return num / den

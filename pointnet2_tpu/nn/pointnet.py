@@ -1,0 +1,205 @@
+"""PointNet++ set-abstraction and feature-propagation modules.
+
+Functional Flax re-design of the reference layer library
+(utils/pointnet_util.py:22-229) with full option parity: SSG/MSG grouping,
+group_all, pooling modes {max, avg, weighted_avg, max_and_avg}, knn vs ball
+query, use_xyz, and the optional post-pooling mlp2 stack.
+
+All shapes are static and padded ((B, npoint, nsample, C) neighbor tensors,
+pad-with-first-hit), so every per-point MLP is one large MXU matmul and the
+whole network jit-compiles once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointnet2_tpu.nn.layers import SharedMLP
+from pointnet2_tpu.ops import (
+    farthest_point_sample,
+    gather_point,
+    group_point,
+    knn_point,
+    query_ball_point,
+    three_interpolate,
+    three_nn,
+)
+
+
+def sample_and_group(npoint, radius, nsample, xyz, points, knn=False, use_xyz=True):
+    """FPS -> gather -> (ball query | kNN) -> group -> center-subtract.
+
+    Mirrors utils/pointnet_util.py:22-56.
+
+    Returns (new_xyz (B,npoint,3), new_points (B,npoint,nsample,3+C),
+    idx (B,npoint,nsample), grouped_xyz (B,npoint,nsample,3)).
+    """
+    new_xyz = gather_point(xyz, farthest_point_sample(xyz, npoint))
+    if knn:
+        _, idx = knn_point(nsample, xyz, new_xyz)
+    else:
+        idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = group_point(points, idx)
+        if use_xyz:
+            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        else:
+            new_points = grouped_points
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+def sample_and_group_all(xyz, points, use_xyz=True):
+    """Single global group at the origin (utils/pointnet_util.py:59-84)."""
+    B, N, _ = xyz.shape
+    new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, 1, N))
+    grouped_xyz = xyz[:, None, :, :]
+    if points is not None:
+        if use_xyz:
+            new_points = jnp.concatenate([xyz, points], axis=2)
+        else:
+            new_points = points
+        new_points = new_points[:, None, :, :]
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+def _pool(new_points, grouped_xyz, pooling: str):
+    """Local-region pooling over the nsample axis
+    (utils/pointnet_util.py:126-140). new_points: (B, np, ns, C)."""
+    if pooling == "max":
+        return jnp.max(new_points, axis=2)
+    if pooling == "avg":
+        return jnp.mean(new_points, axis=2)
+    if pooling == "weighted_avg":
+        dists = jnp.linalg.norm(grouped_xyz, axis=-1, keepdims=True)
+        exp_dists = jnp.exp(-dists * 5)
+        weights = exp_dists / jnp.sum(exp_dists, axis=2, keepdims=True)
+        return jnp.sum(new_points * weights, axis=2)
+    if pooling == "max_and_avg":
+        return jnp.concatenate(
+            [jnp.mean(new_points, axis=2), jnp.max(new_points, axis=2)], axis=-1)
+    raise ValueError(f"unknown pooling {pooling!r}")
+
+
+class SetAbstraction(nn.Module):
+    """PointNet++ SA module (single-scale or group-all).
+
+    Mirrors pointnet_sa_module (utils/pointnet_util.py:87-154).
+    __call__(xyz (B,N,3), points (B,N,C)|None) ->
+      (new_xyz (B,np,3), new_points (B,np,C'), idx (B,np,ns)).
+    """
+
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: Sequence[int]
+    mlp2: Sequence[int] | None = None
+    group_all: bool = False
+    bn: bool = True
+    pooling: str = "max"
+    knn: bool = False
+    use_xyz: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool = False,
+                 bn_momentum: jax.Array | float = 0.9):
+        if self.group_all:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                xyz, points, self.use_xyz)
+        else:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, points,
+                self.knn, self.use_xyz)
+
+        if self.dtype is not None:
+            new_points = new_points.astype(self.dtype)
+        new_points = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype,
+                               name="mlp")(new_points, train, bn_momentum)
+        new_points = _pool(new_points, grouped_xyz, self.pooling)
+        if self.mlp2:
+            new_points = SharedMLP(self.mlp2, bn=self.bn, dtype=self.dtype,
+                                   name="mlp2")(new_points, train, bn_momentum)
+        return new_xyz, new_points, idx
+
+
+class SetAbstractionMSG(nn.Module):
+    """PointNet++ SA module with multi-scale grouping.
+
+    Mirrors pointnet_sa_module_msg (utils/pointnet_util.py:156-196): one FPS,
+    then per-radius ball query + grouping + MLP + max-pool, concatenated.
+    Note the reference concatenates [features, xyz] here (features first),
+    the opposite order of single-scale sample_and_group — kept for parity.
+    """
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    bn: bool = True
+    use_xyz: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool = False,
+                 bn_momentum: jax.Array | float = 0.9):
+        new_xyz = gather_point(xyz, farthest_point_sample(xyz, self.npoint))
+        outs = []
+        for i, (radius, nsample) in enumerate(zip(self.radius_list,
+                                                  self.nsample_list)):
+            idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = group_point(points, idx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+            else:
+                grouped = grouped_xyz
+            if self.dtype is not None:
+                grouped = grouped.astype(self.dtype)
+            grouped = SharedMLP(self.mlp_list[i], bn=self.bn, dtype=self.dtype,
+                                name=f"mlp_{i}")(grouped, train, bn_momentum)
+            outs.append(jnp.max(grouped, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """PointNet++ FP module: inverse-distance 3-NN upsampling + skip + MLP.
+
+    Mirrors pointnet_fp_module (utils/pointnet_util.py:199-229). The
+    reference's three_nn/three_interpolate are CPU-only custom ops (every FP
+    layer round-trips device->host); here they are on-device XLA.
+    Distances are stop_gradient'ed: the reference defines no gradient for
+    the interpolation weights (tf_interpolate.py:29-34).
+    """
+
+    mlp: Sequence[int]
+    bn: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2, train: bool = False,
+                 bn_momentum: jax.Array | float = 0.9):
+        dist, idx = three_nn(xyz1, xyz2)
+        dist = jax.lax.stop_gradient(jnp.maximum(dist, 1e-10))
+        inv = 1.0 / dist
+        weight = inv / jnp.sum(inv, axis=2, keepdims=True)
+        interpolated = three_interpolate(points2, idx, weight)
+        if points1 is not None:
+            new_points = jnp.concatenate([interpolated, points1], axis=2)
+        else:
+            new_points = interpolated
+        if self.dtype is not None:
+            new_points = new_points.astype(self.dtype)
+        return SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp")(
+            new_points, train, bn_momentum)

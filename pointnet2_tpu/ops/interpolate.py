@@ -30,9 +30,16 @@ def three_nn(xyz1: jax.Array, xyz2: jax.Array):
     Returns (dist, idx): (B, N, 3) squared distances ascending, (B, N, 3)
     int32 indices into M.
     """
+    M = xyz2.shape[1]
     diff = xyz1[:, :, None, :] - xyz2[:, None, :, :]
     d2 = jnp.sum(jnp.square(diff), axis=-1)  # (B, N, M)
+    if M < 3:
+        # Fewer than 3 known points: the reference leaves missing slots at
+        # their init values dist=1e40 (inf in f32), idx=0
+        # (tf_interpolate.cpp:66-67) — inverse-distance weights then vanish.
+        d2 = jnp.pad(d2, ((0, 0), (0, 0), (0, 3 - M)), constant_values=jnp.inf)
     neg, idx = jax.lax.top_k(-d2, 3)
+    idx = jnp.where(idx >= M, 0, idx)
     return -neg, idx.astype(jnp.int32)
 
 

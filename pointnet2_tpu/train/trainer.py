@@ -1,0 +1,192 @@
+"""Unified trainer: one host loop for every task and any mesh size.
+
+Replaces the reference's five near-identical training drivers (train.py,
+train_multi_gpu.py, part_seg/train.py, part_seg/train_one_hot.py,
+scannet/train.py) with a single loop around the jit(shard_map(step))
+program. Single chip and N-host pod slices run the same code — only the
+mesh differs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_tpu.models import MODEL_REGISTRY
+from pointnet2_tpu.parallel.mesh import make_mesh, shard_batch
+from pointnet2_tpu.train import checkpoint as ckpt
+from pointnet2_tpu.train.schedules import (
+    bn_momentum_schedule,
+    exponential_decay_clipped,
+)
+from pointnet2_tpu.train.state import TrainState, make_optimizer
+from pointnet2_tpu.train.steps import make_eval_step, make_train_step
+
+
+@dataclass
+class TrainConfig:
+    model: str = "pointnet2_cls_ssg"
+    num_point: int = 1024
+    batch_size: int = 16  # global batch, split across the data mesh
+    max_epoch: int = 251
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    optimizer: str = "adam"
+    decay_step: int = 200000
+    decay_rate: float = 0.7
+    bn_init_decay: float = 0.5
+    bn_decay_rate: float = 0.5
+    bn_decay_clip: float = 0.99
+    augment: str = "none"  # none | cls | cls_normals | scannet (on-device)
+    host_augment: bool = False  # use the dataset's numpy augmentation instead
+    num_devices: int | None = None
+    log_dir: str = "log"
+    ckpt_every_epochs: int = 10
+    seed: int = 0
+    model_kwargs: dict = field(default_factory=dict)
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh=None):
+        self.config = config
+        spec = MODEL_REGISTRY[config.model]
+        self.task = spec.task
+        self.model = spec.cls(**config.model_kwargs)
+        self.loss_fn = spec.loss
+        self.mesh = mesh if mesh is not None else make_mesh(config.num_devices)
+        n_dev = self.mesh.devices.size
+        if config.batch_size % n_dev:
+            raise ValueError(
+                f"global batch {config.batch_size} not divisible by "
+                f"{n_dev} devices")
+
+        self.lr_schedule = exponential_decay_clipped(
+            config.learning_rate, config.batch_size, config.decay_step,
+            config.decay_rate)
+        self.bn_schedule = bn_momentum_schedule(
+            config.batch_size, config.decay_step, config.bn_init_decay,
+            config.bn_decay_rate, config.bn_decay_clip)
+        self.tx = make_optimizer(config.optimizer, self.lr_schedule,
+                                 config.momentum)
+        self.train_step = make_train_step(
+            self.model, self.loss_fn, self.tx, self.bn_schedule,
+            task=self.task, mesh=self.mesh, augment=config.augment)
+        self.eval_step = make_eval_step(self.model, task=self.task,
+                                        mesh=self.mesh)
+        self._rng = jax.random.PRNGKey(config.seed)
+        os.makedirs(config.log_dir, exist_ok=True)
+        self._log_file = open(os.path.join(config.log_dir, "log_train.txt"), "a")
+        self._metrics_file = open(
+            os.path.join(config.log_dir, "metrics.jsonl"), "a")
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str) -> None:
+        print(msg, flush=True)
+        self._log_file.write(msg + "\n")
+        self._log_file.flush()
+
+    def log_metrics(self, **kv: Any) -> None:
+        self._metrics_file.write(json.dumps(kv) + "\n")
+        self._metrics_file.flush()
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: dict) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(self.config.seed),
+                "dropout": jax.random.PRNGKey(self.config.seed + 1)}
+        from pointnet2_tpu.train.steps import _model_inputs
+
+        inputs = _model_inputs(
+            jax.tree_util.tree_map(jnp.asarray, example_batch), self.task)
+        variables = self.model.init(rngs, *inputs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state)
+        from pointnet2_tpu.parallel.mesh import replicated_sharding
+
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def maybe_restore(self, state: TrainState) -> TrainState:
+        if ckpt.latest_step(self.config.log_dir) is not None:
+            state = ckpt.restore_checkpoint(self.config.log_dir, state)
+            self.log(f"restored checkpoint at step {int(state.step)}")
+            from pointnet2_tpu.parallel.mesh import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, state: TrainState, dataset, epoch: int):
+        losses, accs, n = [], [], 0
+        t0 = time.time()
+        for batch in dataset.epoch(augment=self.config.host_augment):
+            self._rng, step_rng = jax.random.split(self._rng)
+            device_batch = shard_batch(self.mesh, self._device_view(batch))
+            state, metrics = self.train_step(state, device_batch, step_rng)
+            losses.append(metrics["loss"])
+            accs.append(metrics["accuracy"])
+            n += batch["nvalid"]
+        dt = time.time() - t0
+        loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
+        self.log(f"epoch {epoch}: train loss {loss:.4f} acc {acc:.4f} "
+                 f"({n / max(dt, 1e-9):.1f} ex/s)")
+        self.log_metrics(epoch=epoch, split="train", loss=loss, accuracy=acc,
+                         examples_per_sec=n / max(dt, 1e-9))
+        return state
+
+    def _device_view(self, batch: dict) -> dict:
+        """Strip host-only fields; everything else goes to the device."""
+        return {k: v for k, v in batch.items() if k != "nvalid"}
+
+    def eval_epoch(self, state: TrainState, dataset, epoch: int) -> float:
+        """Padded-batch-aware accuracy (the reference re-feeds stale rows in
+        the final partial batch and reports them, train.py:255-271)."""
+        correct = total = 0
+        loss_sum = 0.0
+        for batch in dataset.epoch(augment=False):
+            device_batch = shard_batch(self.mesh, self._device_view(batch))
+            logits = np.asarray(self.eval_step(state, device_batch))
+            nv = batch["nvalid"]
+            if self.task == "cls":
+                pred = logits[:nv].argmax(-1)
+                correct += int((pred == batch["label"][:nv]).sum())
+                total += nv
+            else:
+                pred = logits[:nv].argmax(-1)
+                correct += int((pred == batch["seg"][:nv]).sum())
+                total += int(np.prod(batch["seg"][:nv].shape))
+        acc = correct / max(total, 1)
+        self.log(f"epoch {epoch}: eval accuracy {acc:.4f}")
+        self.log_metrics(epoch=epoch, split="eval", accuracy=acc)
+        return acc
+
+    # ------------------------------------------------------------------
+    def fit(self, train_dataset, eval_dataset=None,
+            max_epoch: int | None = None) -> TrainState:
+        max_epoch = max_epoch or self.config.max_epoch
+        example = next(iter(train_dataset.epoch()))
+        state = self.init_state(self._device_view(example))
+        state = self.maybe_restore(state)
+        start_epoch = int(state.step) // max(train_dataset.num_batches(), 1)
+        best_acc = -1.0
+        for epoch in range(start_epoch, max_epoch):
+            state = self.train_epoch(state, train_dataset, epoch)
+            if eval_dataset is not None:
+                acc = self.eval_epoch(state, eval_dataset, epoch)
+                if acc > best_acc:
+                    best_acc = acc
+                    ckpt.save_checkpoint(self.config.log_dir, state,
+                                         name="best")
+            if (epoch + 1) % self.config.ckpt_every_epochs == 0:
+                path = ckpt.save_checkpoint(self.config.log_dir, state)
+                self.log(f"saved checkpoint to {path}")
+        return state

@@ -1,0 +1,128 @@
+"""Model forward-shape and train/eval-mode tests (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_tpu.models import (
+    MODEL_REGISTRY,
+    PointNet2ClsSSG,
+    PointNet2PartSegMSGOneHot,
+    classification_loss,
+    get_model,
+    segmentation_loss,
+    weighted_segmentation_loss,
+)
+
+B, N = 2, 128
+
+
+def _init_and_apply(model, *args, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, *args, train=train)
+    out, mutated = model.apply(
+        variables, *args, train=train,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"] if train else [])
+    return variables, out
+
+
+@pytest.mark.parametrize("name", ["pointnet_cls_basic", "pointnet2_cls_ssg",
+                                  "pointnet2_cls_msg"])
+def test_cls_models_forward_shapes(rng, name):
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    model = get_model(name)
+    _, (logits, ep) = _init_and_apply(model, pc, train=True)
+    assert logits.shape == (B, 40)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.isfinite(logits).all())
+    loss = classification_loss(logits, jnp.zeros((B,), jnp.int32))
+    assert loss.shape == () and bool(jnp.isfinite(loss))
+
+
+def test_cls_ssg_with_normals(rng):
+    pc = jnp.asarray(rng.rand(B, N, 6).astype(np.float32))
+    model = PointNet2ClsSSG()
+    _, (logits, _) = _init_and_apply(model, pc, train=False)
+    assert logits.shape == (B, 40)
+
+
+def test_part_seg_forward(rng):
+    pc = jnp.asarray(rng.rand(B, N, 6).astype(np.float32))
+    model = get_model("pointnet2_part_seg")
+    _, (logits, ep) = _init_and_apply(model, pc, train=True)
+    assert logits.shape == (B, N, 50)
+    assert ep["feats"].shape == (B, N, 128)
+    loss = segmentation_loss(logits, jnp.zeros((B, N), jnp.int32))
+    assert bool(jnp.isfinite(loss))
+
+
+def test_part_seg_msg_one_hot_forward(rng):
+    pc = jnp.asarray(rng.rand(B, N, 6).astype(np.float32))
+    cls_label = jnp.asarray(rng.randint(0, 16, (B,)).astype(np.int32))
+    model = PointNet2PartSegMSGOneHot()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pc, cls_label, train=False)
+    (logits, _), = [model.apply(variables, pc, cls_label, train=False)]
+    assert logits[0].shape == (B, N, 50) if isinstance(logits, tuple) else True
+
+
+def test_sem_seg_forward_and_weighted_loss(rng):
+    # sem_seg SA1 expects >=1024 input points in the real config; use a tiny
+    # custom instance to keep CPU tests fast
+    from pointnet2_tpu.models.sem_seg import PointNet2SemSeg
+
+    pc = jnp.asarray(rng.rand(B, 2048, 3).astype(np.float32))
+    model = PointNet2SemSeg(num_classes=21)
+    _, (logits, _) = _init_and_apply(model, pc, train=True)
+    assert logits.shape == (B, 2048, 21)
+    labels = jnp.zeros((B, 2048), jnp.int32)
+    smpw = jnp.ones((B, 2048), jnp.float32)
+    loss = weighted_segmentation_loss(logits, labels, smpw)
+    assert bool(jnp.isfinite(loss))
+    # zero weights on half the points changes the loss normalization
+    smpw2 = smpw.at[:, ::2].set(0.0)
+    loss2 = weighted_segmentation_loss(logits, labels, smpw2)
+    assert bool(jnp.isfinite(loss2))
+
+
+def test_registry_covers_all_reference_models():
+    want = {"pointnet_cls_basic", "pointnet2_cls_ssg", "pointnet2_cls_msg",
+            "pointnet2_part_seg", "pointnet2_part_seg_msg_one_hot",
+            "pointnet2_sem_seg"}
+    assert want == set(MODEL_REGISTRY)
+
+
+def test_batch_stats_update_in_train_mode(rng):
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    model = get_model("pointnet2_cls_ssg")
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pc, train=False)
+    (logits, _), mutated = model.apply(
+        variables, pc, train=True, bn_momentum=0.5,
+        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after))
+    assert changed, "train mode must update running BN statistics"
+
+
+def test_dropout_is_stochastic_in_train_mode(rng):
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    model = get_model("pointnet2_cls_ssg")
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pc, train=False)
+
+    def fwd(seed):
+        (logits, _), _ = model.apply(
+            variables, pc, train=True, rngs={"dropout": jax.random.PRNGKey(seed)},
+            mutable=["batch_stats"])
+        return np.asarray(logits)
+
+    assert not np.allclose(fwd(1), fwd(2))
+    # eval mode is deterministic
+    l1, _ = model.apply(variables, pc, train=False)
+    l2, _ = model.apply(variables, pc, train=False)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -75,3 +75,14 @@ def test_three_interpolate_weight_gradient(rng):
         w2[0, i, j] -= eps
         num = (f(jnp.asarray(w1)) - f(jnp.asarray(w2))) / (2 * eps)
         np.testing.assert_allclose(g[0, i, j], num, atol=1e-2)
+
+
+def test_three_nn_fewer_than_three_known_points():
+    """Missing slots get dist=inf, idx=0 (tf_interpolate.cpp:66-67)."""
+    xyz1 = jnp.asarray([[[0.0, 0, 0], [1.0, 0, 0]]])
+    xyz2 = jnp.asarray([[[0.5, 0, 0]]])  # single known point
+    dist, idx = three_nn(xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(idx), [[[0, 0, 0], [0, 0, 0]]])
+    d = np.asarray(dist)
+    np.testing.assert_allclose(d[:, :, 0], [[0.25, 0.25]])
+    assert np.isinf(d[:, :, 1:]).all()
