@@ -57,9 +57,9 @@ def main() -> None:
         "points": jnp.asarray(rng.rand(BATCH, NPOINTS, 3).astype(np.float32)),
         "label": jnp.asarray(rng.randint(0, 40, (BATCH,)).astype(np.int32)),
     }
-    variables = model.init(
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["points"], train=False)
+        batch["points"])
     lr = exponential_decay_clipped(1e-3, BATCH, 200000, 0.7)
     tx = make_optimizer("adam", lr)
     bn_fn = bn_momentum_schedule(BATCH, 200000)

@@ -1,0 +1,123 @@
+"""Per-kernel microbenchmarks: Pallas vs pure-XLA reference, with roofline
+context.
+
+TPU-native replacement for the reference's standalone CUDA harnesses
+(tf_ops/grouping/test/*.cu, compile.sh) and the op-wrapper __main__ timing
+loops. Run on the real chip:
+
+    python benchmarks/kernels.py [--batch 16] [--n 1024] [--json]
+
+For each op it reports ms per call for both implementations, plus the
+achieved fraction of a simple bandwidth/compute bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_tpu import config as p2cfg
+from pointnet2_tpu.ops import farthest_point_sample, query_ball_point, three_nn
+from pointnet2_tpu.ops.grouping import group_point, knn_point
+from pointnet2_tpu.utils.profiling import time_fn
+
+# v5e single-chip peak numbers for roofline context
+HBM_GBPS = 819.0
+VPU_TOPS = 3.8  # ~elementwise f32 Telem-ops/s (order of magnitude)
+
+
+def bench_fps(B, N, M, results):
+    xyz = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
+    for impl in ("xla", "pallas"):
+        f = jax.jit(lambda x: farthest_point_sample(x, M, impl=impl))
+        t = time_fn(f, xyz)
+        # sequential min-dist updates: M passes over B*N points, ~8 ops each
+        work = B * N * M * 8
+        results[f"fps_{impl}"] = {
+            "ms": t * 1e3,
+            "elem_ops": work,
+            "vpu_frac": work / t / (VPU_TOPS * 1e12),
+        }
+
+
+def bench_ball_query(B, N, M, nsample, radius, results):
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    new_xyz = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+    for impl in ("xla", "pallas"):
+        f = jax.jit(lambda a, b: query_ball_point(radius, nsample, a, b,
+                                                  impl=impl))
+        t = time_fn(f, xyz, new_xyz)
+        work = B * M * N * (9 + nsample)
+        results[f"ball_query_{impl}"] = {
+            "ms": t * 1e3,
+            "elem_ops": work,
+            "vpu_frac": work / t / (VPU_TOPS * 1e12),
+        }
+
+
+def bench_group_point(B, N, M, nsample, C, results):
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.rand(B, N, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N, (B, M, nsample)), jnp.int32)
+    f = jax.jit(group_point)
+    t = time_fn(f, pts, idx)
+    bytes_moved = (B * M * nsample * C * 4) * 2  # gather read+write
+    results["group_point"] = {
+        "ms": t * 1e3,
+        "gbps": bytes_moved / t / 1e9,
+        "hbm_frac": bytes_moved / t / (HBM_GBPS * 1e9),
+    }
+
+
+def bench_three_nn(B, N, M, results):
+    rng = np.random.RandomState(0)
+    dense = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    sparse = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+    f = jax.jit(three_nn)
+    t = time_fn(f, dense, sparse)
+    results["three_nn"] = {"ms": t * 1e3}
+
+
+def bench_knn(B, N, M, k, results):
+    rng = np.random.RandomState(0)
+    xyz1 = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    xyz2 = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+    f = jax.jit(lambda a, b: knn_point(k, a, b))
+    t = time_fn(f, xyz1, xyz2)
+    results["knn"] = {"ms": t * 1e3}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--m", type=int, default=512)
+    ap.add_argument("--nsample", type=int, default=32)
+    ap.add_argument("--radius", type=float, default=0.2)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    results = {"config": vars(args), "backend": jax.default_backend()}
+    bench_fps(args.batch, args.n, args.m, results)
+    bench_ball_query(args.batch, args.n, args.m, args.nsample, args.radius,
+                     results)
+    bench_group_point(args.batch, args.n, args.m, args.nsample,
+                      args.channels, results)
+    bench_three_nn(args.batch, args.n, args.m, results)
+    bench_knn(args.batch, args.n, args.m, 3, results)
+
+    if args.json:
+        print(json.dumps(results))
+    else:
+        for k, v in results.items():
+            print(k, v)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Evaluation CLI: restore a checkpoint and run the task's full protocol.
+
+Replaces evaluate.py (vote-ensembled classification), part_seg/evaluate.py
+(VOTE_NUM mIoU), and scannet/train.py's eval passes (whole-scene
+voxel/calibrated accuracy).
+
+Usage:
+  python -m pointnet2_tpu.cli.evaluate --model pointnet2_cls_ssg \
+      --log_dir log --num_votes 12 [--synthetic | --data ROOT]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from pointnet2_tpu.models import MODEL_REGISTRY
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="pointnet2_cls_ssg",
+                   choices=sorted(MODEL_REGISTRY))
+    p.add_argument("--data", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_size", type=int, default=8)
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--ckpt", default="ckpt", help="checkpoint name in log_dir")
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_votes", type=int, default=12)
+    p.add_argument("--normal", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    from pointnet2_tpu.cli.train import make_datasets
+    from pointnet2_tpu.evaluation import evaluate_cls_voting
+    from pointnet2_tpu.evaluation.part_miou import evaluate_part_seg_voting
+    from pointnet2_tpu.evaluation.scannet_eval import (
+        evaluate_scannet_chopped,
+        evaluate_scannet_whole_scene,
+    )
+    from pointnet2_tpu.parallel.mesh import shard_batch
+    from pointnet2_tpu.train import TrainConfig, Trainer
+    from pointnet2_tpu.train import checkpoint as ckpt
+
+    args = build_parser().parse_args(argv)
+    task = MODEL_REGISTRY[args.model].task
+    _, test_ds, _ = make_datasets(args)
+    model_kwargs = {}
+    if args.num_classes is not None:
+        key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
+        model_kwargs[key] = args.num_classes
+    config = TrainConfig(model=args.model, num_point=args.num_point,
+                         batch_size=args.batch_size,
+                         num_devices=args.num_devices, log_dir=args.log_dir,
+                         model_kwargs=model_kwargs)
+    trainer = Trainer(config)
+    example = next(iter(test_ds.epoch()))
+    state = trainer.init_state(trainer._device_view(example))
+    state = ckpt.restore_checkpoint(args.log_dir, state, name=args.ckpt)
+    trainer.log(f"restored {args.ckpt} at step {int(state.step)}")
+
+    if task == "cls":
+        def logits_fn(points):
+            batch = {"points": np.asarray(points, np.float32),
+                     "label": np.zeros(points.shape[0], np.int32)}
+            db = shard_batch(trainer.mesh, trainer._device_view(batch))
+            return np.asarray(trainer.eval_step(state, db))
+
+        evaluate_cls_voting(logits_fn, test_ds, num_votes=args.num_votes,
+                            num_classes=40, rng=0, log_fn=trainer.log)
+    elif task in ("part_seg", "part_seg_one_hot"):
+        def logits_fn(batch):
+            db = shard_batch(trainer.mesh, trainer._device_view(
+                {k: np.asarray(v) for k, v in batch.items()
+                 if k != "nvalid"}))
+            return np.asarray(trainer.eval_step(state, db))
+
+        evaluate_part_seg_voting(logits_fn, test_ds,
+                                 num_votes=args.num_votes, rng=0,
+                                 log_fn=trainer.log)
+    else:  # sem_seg
+        def logits_fn(batch):
+            db = shard_batch(trainer.mesh, trainer._device_view(
+                {k: np.asarray(v) for k, v in batch.items()
+                 if k != "nvalid"}))
+            return np.asarray(trainer.eval_step(state, db))
+
+        evaluate_scannet_chopped(logits_fn, test_ds, rng=0,
+                                 log_fn=trainer.log)
+        from pointnet2_tpu.data import (
+            ScannetDatasetWholeScene,
+            make_synthetic_scenes,
+        )
+
+        if args.synthetic or args.data is None:
+            whole = ScannetDatasetWholeScene(
+                scenes=make_synthetic_scenes(2, seed=9),
+                npoints=args.num_point, split="test")
+        else:
+            whole = ScannetDatasetWholeScene(root=args.data,
+                                             npoints=args.num_point,
+                                             split="test")
+        evaluate_scannet_whole_scene(logits_fn, whole,
+                                     batch_size=args.batch_size,
+                                     log_fn=trainer.log)
+
+
+if __name__ == "__main__":
+    main()

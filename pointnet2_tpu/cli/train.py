@@ -1,0 +1,142 @@
+"""Unified training CLI.
+
+Replaces the reference's five drivers (train.py, train_multi_gpu.py,
+part_seg/train.py, part_seg/train_one_hot.py, scannet/train.py) with one
+entry point; the task comes from the model registry. Data-parallel scaling
+needs no flag beyond --num_devices (and multi-host just works after
+jax.distributed.initialize — there is no separate multi-device script).
+
+Usage:
+  python -m pointnet2_tpu.cli.train --model pointnet2_cls_ssg \
+      --data data/modelnet40_ply_hdf5_2048 --num_point 1024 --batch_size 16
+  python -m pointnet2_tpu.cli.train --model pointnet2_cls_ssg --synthetic
+
+Flag names follow the reference (train.py:25-38).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pointnet2_tpu.models import MODEL_REGISTRY
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="pointnet2_cls_ssg",
+                   choices=sorted(MODEL_REGISTRY))
+    p.add_argument("--data", default=None,
+                   help="dataset root (task-specific layout)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the built-in synthetic dataset (hermetic)")
+    p.add_argument("--synthetic_size", type=int, default=8,
+                   help="samples per class for the synthetic cls dataset")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--max_epoch", type=int, default=251)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "momentum"])
+    p.add_argument("--decay_step", type=int, default=200000)
+    p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument("--normal", action="store_true",
+                   help="use XYZ+normal input (txt dataset for cls)")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the model's class count (e.g. sem_seg)")
+    p.add_argument("--eval_every", type=int, default=1)
+    return p
+
+
+def make_datasets(args):
+    task = MODEL_REGISTRY[args.model].task
+    if task == "cls":
+        if args.synthetic or args.data is None:
+            from pointnet2_tpu.data import SyntheticClassification
+
+            mk = lambda seed: SyntheticClassification(
+                num_classes=40, samples_per_class=args.synthetic_size,
+                npoints=args.num_point, channels=6 if args.normal else 3,
+                batch_size=args.batch_size, seed=seed)
+            return mk(0), mk(1), "cls_normals" if args.normal else "cls"
+        if args.normal:
+            from pointnet2_tpu.data import ModelNetDataset
+
+            train = ModelNetDataset(args.data, batch_size=args.batch_size,
+                                    npoints=args.num_point, split="train")
+            test = ModelNetDataset(args.data, batch_size=args.batch_size,
+                                   npoints=args.num_point, split="test")
+            return train, test, "cls_normals"
+        from pointnet2_tpu.data import ModelNetH5Dataset
+        import os
+
+        train = ModelNetH5Dataset(os.path.join(args.data, "train_files.txt"),
+                                  batch_size=args.batch_size,
+                                  npoints=args.num_point)
+        test = ModelNetH5Dataset(os.path.join(args.data, "test_files.txt"),
+                                 batch_size=args.batch_size,
+                                 npoints=args.num_point, shuffle=False)
+        return train, test, "cls"
+    if task in ("part_seg", "part_seg_one_hot"):
+        if args.synthetic or args.data is None:
+            from pointnet2_tpu.data import SyntheticShapeNetPart
+
+            mk = lambda seed: SyntheticShapeNetPart(
+                num_samples=64, npoints=args.num_point,
+                batch_size=args.batch_size, seed=seed)
+            return mk(0), mk(1), "none"
+        from pointnet2_tpu.data import PartNormalDataset
+
+        train = PartNormalDataset(args.data, npoints=args.num_point,
+                                  split="trainval",
+                                  batch_size=args.batch_size)
+        test = PartNormalDataset(args.data, npoints=args.num_point,
+                                 split="test", batch_size=args.batch_size)
+        return train, test, "none"
+    # sem_seg
+    if args.synthetic or args.data is None:
+        from pointnet2_tpu.data import ScannetDataset, make_synthetic_scenes
+
+        train = ScannetDataset(scenes=make_synthetic_scenes(4),
+                               npoints=args.num_point, split="train",
+                               batch_size=args.batch_size)
+        test = ScannetDataset(scenes=make_synthetic_scenes(2, seed=9),
+                              npoints=args.num_point, split="test",
+                              batch_size=args.batch_size)
+        return train, test, "scannet"
+    from pointnet2_tpu.data import ScannetDataset
+
+    train = ScannetDataset(root=args.data, npoints=args.num_point,
+                           split="train", batch_size=args.batch_size)
+    test = ScannetDataset(root=args.data, npoints=args.num_point,
+                          split="test", batch_size=args.batch_size)
+    return train, test, "scannet"
+
+
+def main(argv=None) -> None:
+    from pointnet2_tpu.train import TrainConfig, Trainer
+
+    args = build_parser().parse_args(argv)
+    train_ds, test_ds, augment = make_datasets(args)
+    model_kwargs = {}
+    if args.num_classes is not None:
+        task = MODEL_REGISTRY[args.model].task
+        key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
+        model_kwargs[key] = args.num_classes
+    config = TrainConfig(
+        model=args.model, num_point=args.num_point,
+        batch_size=args.batch_size, max_epoch=args.max_epoch,
+        learning_rate=args.learning_rate, momentum=args.momentum,
+        optimizer=args.optimizer, decay_step=args.decay_step,
+        decay_rate=args.decay_rate, augment=augment,
+        num_devices=args.num_devices, log_dir=args.log_dir,
+        model_kwargs=model_kwargs)
+    trainer = Trainer(config)
+    trainer.log(f"config: {vars(args)}")
+    trainer.fit(train_ds, eval_dataset=test_ds)
+
+
+if __name__ == "__main__":
+    main()

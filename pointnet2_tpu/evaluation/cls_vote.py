@@ -1,0 +1,62 @@
+"""Multi-angle vote-ensembled classification evaluation.
+
+Protocol parity with the reference's evaluate.py:100-158: per vote, shuffle
+the point order (diversifies the farthest-point-sampling seeds) and rotate
+about the up axis by vote_idx/num_votes * 2*pi (normal-aware when the cloud
+has 6 channels), then sum the logits over votes and take the argmax.
+Reports overall accuracy, average class accuracy, and the per-class table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pointnet2_tpu.data import augment as A
+
+
+def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
+                        num_classes: int = 40, rng=None,
+                        log_fn=print) -> dict:
+    """eval_logits_fn(points (B,N,C) f32) -> logits (B, num_classes).
+
+    Returns {"accuracy", "avg_class_accuracy", "class_accuracy",
+    "per_class_seen"}.
+    """
+    rng = rng if isinstance(rng, np.random.Generator) else \
+        np.random.default_rng(rng)
+    total_correct = 0
+    total_seen = 0
+    seen_class = np.zeros(num_classes, np.int64)
+    correct_class = np.zeros(num_classes, np.int64)
+
+    for batch in dataset.epoch(augment=False):
+        pts = batch["points"]
+        label = batch["label"]
+        nvalid = batch["nvalid"]
+        num_point = pts.shape[1]
+        pred_sum = np.zeros((pts.shape[0], num_classes), np.float64)
+        for vote_idx in range(num_votes):
+            shuffled = rng.permutation(num_point)
+            rotated = A.rotate_point_cloud_by_angle(
+                pts[:, shuffled, :], vote_idx / float(num_votes) * np.pi * 2)
+            pred_sum += np.asarray(eval_logits_fn(rotated), np.float64)
+        pred = pred_sum.argmax(axis=1)[:nvalid]
+        label = label[:nvalid]
+        total_correct += int((pred == label).sum())
+        total_seen += nvalid
+        for lbl, prd in zip(label, pred):
+            seen_class[lbl] += 1
+            correct_class[lbl] += int(prd == lbl)
+
+    acc = total_correct / max(total_seen, 1)
+    class_acc = correct_class / np.maximum(seen_class, 1)
+    present = seen_class > 0
+    avg_class_acc = float(class_acc[present].mean()) if present.any() else 0.0
+    log_fn(f"eval accuracy: {acc:.6f}")
+    log_fn(f"eval avg class acc: {avg_class_acc:.6f}")
+    return {
+        "accuracy": acc,
+        "avg_class_accuracy": avg_class_acc,
+        "class_accuracy": class_acc,
+        "per_class_seen": seen_class,
+    }

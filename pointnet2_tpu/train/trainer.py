@@ -104,7 +104,10 @@ class Trainer:
 
         inputs = _model_inputs(
             jax.tree_util.tree_map(jnp.asarray, example_batch), self.task)
-        variables = self.model.init(rngs, *inputs, train=False)
+        # jit the init: run eagerly it dispatches hundreds of small ops
+        # (very slow over a remote-device transport)
+        init_fn = jax.jit(lambda r, *a: self.model.init(r, *a, train=False))
+        variables = init_fn(rngs, *inputs)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -189,4 +192,7 @@ class Trainer:
             if (epoch + 1) % self.config.ckpt_every_epochs == 0:
                 path = ckpt.save_checkpoint(self.config.log_dir, state)
                 self.log(f"saved checkpoint to {path}")
+        if start_epoch < max_epoch:
+            path = ckpt.save_checkpoint(self.config.log_dir, state)
+            self.log(f"saved final checkpoint to {path}")
         return state
