@@ -73,16 +73,19 @@ def main() -> None:
     device_batch = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(0)
 
+    # Steps chain through `state`, so fetching the last step's loss fences
+    # the whole sequence. (On remote-device transports block_until_ready
+    # can return early — only a result fetch is a reliable fence.)
     for i in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, device_batch, sub)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, device_batch, sub)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH * MEASURE_STEPS / dt

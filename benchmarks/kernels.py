@@ -3,12 +3,13 @@ context.
 
 TPU-native replacement for the reference's standalone CUDA harnesses
 (tf_ops/grouping/test/*.cu, compile.sh) and the op-wrapper __main__ timing
-loops. Run on the real chip:
+loops. Kernels are timed inside an on-device fori_loop (see
+profiling.time_op_loop) because per-call timing over a remote-device
+transport measures the transport, not the kernel. A known-FLOPs matmul is
+included to calibrate the methodology against MXU peak.
 
+Run on the real chip:
     python benchmarks/kernels.py [--batch 16] [--n 1024] [--json]
-
-For each op it reports ms per call for both implementations, plus the
-achieved fraction of a simple bandwidth/compute bound.
 """
 
 from __future__ import annotations
@@ -20,26 +21,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointnet2_tpu import config as p2cfg
 from pointnet2_tpu.ops import farthest_point_sample, query_ball_point, three_nn
 from pointnet2_tpu.ops.grouping import group_point, knn_point
-from pointnet2_tpu.utils.profiling import time_fn
+from pointnet2_tpu.utils.profiling import time_op_loop
 
-# v5e single-chip peak numbers for roofline context
+# v5e single-chip peaks for roofline context
 HBM_GBPS = 819.0
-VPU_TOPS = 3.8  # ~elementwise f32 Telem-ops/s (order of magnitude)
+MXU_BF16_TFLOPS = 197.0
+VPU_TOPS = 3.8  # rough elementwise f32 Telem-ops/s
+
+
+def bench_matmul(results, n=4096):
+    a32 = jnp.asarray(np.random.RandomState(0).rand(n, n), jnp.float32)
+    t = time_op_loop(lambda x: x @ x, a32, iters=100)
+    results["matmul_f32_4k"] = {"ms": t * 1e3,
+                                "tflops": 2 * n ** 3 / t / 1e12}
+    a16 = a32.astype(jnp.bfloat16)
+    t = time_op_loop(lambda x: x @ x, a16, iters=100)
+    results["matmul_bf16_4k"] = {"ms": t * 1e3,
+                                 "tflops": 2 * n ** 3 / t / 1e12,
+                                 "mxu_frac": 2 * n ** 3 / t / 1e12
+                                 / MXU_BF16_TFLOPS}
 
 
 def bench_fps(B, N, M, results):
     xyz = jnp.asarray(np.random.RandomState(0).rand(B, N, 3), jnp.float32)
     for impl in ("xla", "pallas"):
-        f = jax.jit(lambda x: farthest_point_sample(x, M, impl=impl))
-        t = time_fn(f, xyz)
+        t = time_op_loop(
+            lambda x: farthest_point_sample(x, M, impl=impl), xyz, iters=100)
         # sequential min-dist updates: M passes over B*N points, ~8 ops each
         work = B * N * M * 8
         results[f"fps_{impl}"] = {
             "ms": t * 1e3,
-            "elem_ops": work,
             "vpu_frac": work / t / (VPU_TOPS * 1e12),
         }
 
@@ -49,13 +62,12 @@ def bench_ball_query(B, N, M, nsample, radius, results):
     xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
     new_xyz = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
     for impl in ("xla", "pallas"):
-        f = jax.jit(lambda a, b: query_ball_point(radius, nsample, a, b,
-                                                  impl=impl))
-        t = time_fn(f, xyz, new_xyz)
+        t = time_op_loop(
+            lambda x: query_ball_point(radius, nsample, x, new_xyz,
+                                       impl=impl), xyz, iters=100)
         work = B * M * N * (9 + nsample)
         results[f"ball_query_{impl}"] = {
             "ms": t * 1e3,
-            "elem_ops": work,
             "vpu_frac": work / t / (VPU_TOPS * 1e12),
         }
 
@@ -64,9 +76,8 @@ def bench_group_point(B, N, M, nsample, C, results):
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.rand(B, N, C), jnp.float32)
     idx = jnp.asarray(rng.randint(0, N, (B, M, nsample)), jnp.int32)
-    f = jax.jit(group_point)
-    t = time_fn(f, pts, idx)
-    bytes_moved = (B * M * nsample * C * 4) * 2  # gather read+write
+    t = time_op_loop(lambda p: group_point(p, idx), pts, iters=100)
+    bytes_moved = B * M * nsample * C * 4 * 2  # gather write + random read
     results["group_point"] = {
         "ms": t * 1e3,
         "gbps": bytes_moved / t / 1e9,
@@ -78,8 +89,7 @@ def bench_three_nn(B, N, M, results):
     rng = np.random.RandomState(0)
     dense = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
     sparse = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
-    f = jax.jit(three_nn)
-    t = time_fn(f, dense, sparse)
+    t = time_op_loop(lambda d: three_nn(d, sparse), dense, iters=100)
     results["three_nn"] = {"ms": t * 1e3}
 
 
@@ -87,8 +97,7 @@ def bench_knn(B, N, M, k, results):
     rng = np.random.RandomState(0)
     xyz1 = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
     xyz2 = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
-    f = jax.jit(lambda a, b: knn_point(k, a, b))
-    t = time_fn(f, xyz1, xyz2)
+    t = time_op_loop(lambda a: knn_point(k, a, xyz2), xyz1, iters=100)
     results["knn"] = {"ms": t * 1e3}
 
 
@@ -100,10 +109,13 @@ def main():
     ap.add_argument("--nsample", type=int, default=32)
     ap.add_argument("--radius", type=float, default=0.2)
     ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--skip-matmul", action="store_true")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     results = {"config": vars(args), "backend": jax.default_backend()}
+    if not args.skip_matmul:
+        bench_matmul(results)
     bench_fps(args.batch, args.n, args.m, results)
     bench_ball_query(args.batch, args.n, args.m, args.nsample, args.radius,
                      results)
@@ -116,7 +128,11 @@ def main():
         print(json.dumps(results))
     else:
         for k, v in results.items():
-            print(k, v)
+            if isinstance(v, dict):
+                print(k, {kk: round(vv, 4) if isinstance(vv, float) else vv
+                          for kk, vv in v.items()})
+            else:
+                print(k, v)
 
 
 if __name__ == "__main__":

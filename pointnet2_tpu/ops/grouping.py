@@ -79,17 +79,29 @@ def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Arr
 
 
 @jax.custom_vjp
-def group_point(points: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather neighbor features: points (B,N,C), idx (B,M,S) -> (B,M,S,C).
-
-    Gradient w.r.t. points is a deterministic scatter-add (replaces the
-    atomicAdd kernel at tf_grouping_g.cu:61-78); idx gets none.
-    """
+def _group_point_xla(points: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
 
 
+def group_point(points: jax.Array, idx: jax.Array,
+                impl: str | None = None) -> jax.Array:
+    """Gather neighbor features: points (B,N,C), idx (B,M,S) -> (B,M,S,C).
+
+    Gradient w.r.t. points is a deterministic scatter-add (replaces the
+    atomicAdd kernel at tf_grouping_g.cu:61-78); idx gets none. On TPU the
+    gather and its scatter-add transpose run as MXU one-hot contractions
+    (ops/pallas/group.py) — XLA's native gather runs ~10x below HBM
+    bandwidth at these shapes.
+    """
+    if config.resolve_impl(impl) == "pallas":
+        from pointnet2_tpu.ops.pallas.group import group_point_pallas
+
+        return group_point_pallas(points, idx)
+    return _group_point_xla(points, idx)
+
+
 def _group_point_fwd(points, idx):
-    return group_point(points, idx), (idx, points.shape[1])
+    return _group_point_xla(points, idx), (idx, points.shape[1])
 
 
 def _group_point_bwd(res, g):
@@ -102,7 +114,7 @@ def _group_point_bwd(res, g):
     return grad, None
 
 
-group_point.defvjp(_group_point_fwd, _group_point_bwd)
+_group_point_xla.defvjp(_group_point_fwd, _group_point_bwd)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -77,18 +77,28 @@ def farthest_point_sample(xyz: jax.Array, npoint: int, impl: str | None = None) 
 
 
 @jax.custom_vjp
-def gather_point(points: jax.Array, idx: jax.Array) -> jax.Array:
+def _gather_point_xla(points: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take_along_axis(points, idx[:, :, None], axis=1)
+
+
+def gather_point(points: jax.Array, idx: jax.Array,
+                 impl: str | None = None) -> jax.Array:
     """Gather rows of points by per-batch indices.
 
     points: (B, N, C); idx: (B, M) int32 -> (B, M, C).
     Gradient w.r.t. points is a deterministic scatter-add; idx gets none
-    (mirrors GatherPoint/GatherPointGrad, tf_sampling.cpp:41-63).
+    (mirrors GatherPoint/GatherPointGrad, tf_sampling.cpp:41-63). On TPU
+    both directions run as MXU one-hot contractions (ops/pallas/group.py).
     """
-    return jnp.take_along_axis(points, idx[:, :, None], axis=1)
+    if config.resolve_impl(impl) == "pallas":
+        from pointnet2_tpu.ops.pallas.group import gather_point_pallas
+
+        return gather_point_pallas(points, idx)
+    return _gather_point_xla(points, idx)
 
 
 def _gather_point_fwd(points, idx):
-    return gather_point(points, idx), (idx, points.shape[1])
+    return _gather_point_xla(points, idx), (idx, points.shape[1])
 
 
 def _gather_point_bwd(res, g):
@@ -99,7 +109,7 @@ def _gather_point_bwd(res, g):
     return grad, None
 
 
-gather_point.defvjp(_gather_point_fwd, _gather_point_bwd)
+_gather_point_xla.defvjp(_gather_point_fwd, _gather_point_bwd)
 
 
 # ---------------------------------------------------------------------------

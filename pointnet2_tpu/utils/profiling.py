@@ -51,16 +51,87 @@ class StepTimer:
         return 1.0 / m if m > 0 else 0.0
 
 
-def time_fn(fn, *args, warmup: int = 3, iters: int = 20) -> float:
-    """Median-of-iters wall time of fn(*args) in seconds (jit-safe)."""
+def _fence(out) -> None:
+    """Force completion by fetching result bytes.
+
+    On remote-device transports (e.g. a TPU behind a relay),
+    `jax.block_until_ready` can return before the computation has actually
+    executed; fetching a scalar of the result is the only reliable fence.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def time_fn(fn, *args, warmup: int = 1, iters: int = 5) -> float:
+    """Mean wall time per call of fn(*args), fenced by result fetch.
+
+    NOTE: includes one host<->device round trip per call (~tens of ms over
+    a tunnel). For microbenchmarking sub-ms kernels use
+    :func:`time_op_loop`, which amortizes the round trip over an on-device
+    loop.
+    """
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _fence(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _fence(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def time_op_loop(op, x, iters: int = 50, warmup: bool = True,
+                 repeats: int = 3) -> float:
+    """Per-iteration device time of `op(x)`, measured inside one jitted
+    `fori_loop` so transport latency amortizes to zero.
+
+    `op(x)` may return any pytree. Each iteration feeds a slightly
+    perturbed input that *depends on the previous iteration's output*
+    (blocks CSE/caching and enforces serialization), with negligible extra
+    work. The loop-overhead baseline (iters=0 call) is subtracted.
+    """
+    import jax.numpy as jnp
+
+    def run(x, n):
+        def body(i, acc):
+            # vary the input per iteration (defeats result caching and CSE)
+            xi = x + (i.astype(x.dtype) * jnp.asarray(1e-9, x.dtype))
+            out = op(xi)
+            # fold the FULL output into the scalar carry: folding a single
+            # element would let XLA slice through matmuls/scans and skip
+            # the work being measured ("compute out[0,0]" needs one row);
+            # a big-array carry would equally distort the figure
+            acc = acc + sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out))
+            return acc
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    timed = jax.jit(run, static_argnums=1)
+    if warmup:
+        # warm both static-n variants so compile time never leaks in
+        _fence(timed(x, iters))
+        _fence(timed(x, 0))
+    # distinct inputs per timed call: remote transports may serve repeated
+    # identical (executable, input) executions from a cache. Transport
+    # round-trip jitter (tens of ms) is suppressed by taking the median of
+    # several (total - baseline) measurements.
+    measured = []
+    for r in range(repeats):
+        x1 = x + jnp.asarray((2 * r + 1) * 1e-7, x.dtype)
+        x2 = x + jnp.asarray((2 * r + 2) * 1e-7, x.dtype)
+        _fence(x1)
+        _fence(x2)
+        t0 = time.perf_counter()
+        _fence(timed(x1, iters))
+        total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fence(timed(x2, 0))
+        base = time.perf_counter() - t0
+        measured.append(max(total - base, 1e-9) / iters)
+    measured.sort()
+    return measured[len(measured) // 2]

@@ -97,3 +97,48 @@ def test_knn_matches_golden(rng):
     wval, widx = golden.knn_np(8, xyz1, xyz2)
     np.testing.assert_array_equal(np.asarray(idx), widx)
     np.testing.assert_allclose(np.asarray(val), wval, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B,N,M,S,C", [(2, 64, 16, 8, 32), (1, 100, 7, 3, 5)])
+def test_group_point_pallas_matches_xla(rng, B, N, M, S, C):
+    from pointnet2_tpu.ops.pallas.group import group_point_pallas
+
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, M, S)).astype(np.int32))
+    got = np.asarray(group_point_pallas(pts, idx))
+    want = np.asarray(group_point(pts, idx, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_group_point_pallas_grad_matches_xla(rng):
+    from pointnet2_tpu.ops.pallas.group import group_point_pallas
+
+    pts = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 64, (2, 10, 4)).astype(np.int32))
+    cot = jnp.asarray(rng.randn(2, 10, 4, 16).astype(np.float32))
+
+    def loss_p(p):
+        return jnp.vdot(group_point_pallas(p, idx), cot)
+
+    def loss_x(p):
+        return jnp.vdot(group_point(p, idx, impl="xla"), cot)
+
+    gp = np.asarray(jax.grad(loss_p)(pts))
+    gx = np.asarray(jax.grad(loss_x)(pts))
+    np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_point_pallas_matches_xla(rng):
+    from pointnet2_tpu.ops.pallas.group import gather_point_pallas
+    from pointnet2_tpu.ops import gather_point
+
+    pts = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 50, (2, 20)).astype(np.int32))
+    got = np.asarray(gather_point_pallas(pts, idx))
+    want = np.asarray(gather_point(pts, idx, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    cot = jnp.asarray(rng.randn(2, 20, 3).astype(np.float32))
+    gp = np.asarray(jax.grad(lambda p: jnp.vdot(gather_point_pallas(p, idx), cot))(pts))
+    gx = np.asarray(jax.grad(lambda p: jnp.vdot(gather_point(p, idx, impl="xla"), cot))(pts))
+    np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)
