@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--num_classes", type=int, default=None,
                    help="override the model's class count (e.g. sem_seg)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (params/stats stay float32)")
     p.add_argument("--eval_every", type=int, default=1)
     return p
 
@@ -132,7 +135,7 @@ def main(argv=None) -> None:
         optimizer=args.optimizer, decay_step=args.decay_step,
         decay_rate=args.decay_rate, augment=augment,
         num_devices=args.num_devices, log_dir=args.log_dir,
-        model_kwargs=model_kwargs)
+        compute_dtype=args.dtype, model_kwargs=model_kwargs)
     trainer = Trainer(config)
     trainer.log(f"config: {vars(args)}")
     trainer.fit(train_ds, eval_dataset=test_ds)

@@ -31,10 +31,15 @@ from pointnet2_tpu.ops import (
 )
 
 
-def sample_and_group(npoint, radius, nsample, xyz, points, knn=False, use_xyz=True):
+def sample_and_group(npoint, radius, nsample, xyz, points, knn=False,
+                     use_xyz=True, dtype=None):
     """FPS -> gather -> (ball query | kNN) -> group -> center-subtract.
 
     Mirrors utils/pointnet_util.py:22-56.
+
+    With `dtype` (e.g. bfloat16), the *gathered values* are cast before
+    grouping — on TPU a bf16 one-hot gather is both exact and ~3x faster —
+    while all geometry (FPS, ball query, returned new_xyz) stays f32.
 
     Returns (new_xyz (B,npoint,3), new_points (B,npoint,nsample,3+C),
     idx (B,npoint,nsample), grouped_xyz (B,npoint,nsample,3)).
@@ -44,9 +49,11 @@ def sample_and_group(npoint, radius, nsample, xyz, points, knn=False, use_xyz=Tr
         _, idx = knn_point(nsample, xyz, new_xyz)
     else:
         idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
+    cxyz = xyz.astype(dtype) if dtype is not None else xyz
+    grouped_xyz = group_point(cxyz, idx) - new_xyz[:, :, None, :].astype(cxyz.dtype)
     if points is not None:
-        grouped_points = group_point(points, idx)
+        cpoints = points.astype(dtype) if dtype is not None else points
+        grouped_points = group_point(cpoints, idx)
         if use_xyz:
             new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
         else:
@@ -120,7 +127,7 @@ class SetAbstraction(nn.Module):
         else:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points,
-                self.knn, self.use_xyz)
+                self.knn, self.use_xyz, dtype=self.dtype)
 
         if self.dtype is not None:
             new_points = new_points.astype(self.dtype)
@@ -154,13 +161,17 @@ class SetAbstractionMSG(nn.Module):
     def __call__(self, xyz, points, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
         new_xyz = gather_point(xyz, farthest_point_sample(xyz, self.npoint))
+        cxyz = xyz.astype(self.dtype) if self.dtype is not None else xyz
+        cpoints = (points.astype(self.dtype)
+                   if self.dtype is not None and points is not None else points)
         outs = []
         for i, (radius, nsample) in enumerate(zip(self.radius_list,
                                                   self.nsample_list)):
             idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = (group_point(cxyz, idx)
+                           - new_xyz[:, :, None, :].astype(cxyz.dtype))
             if points is not None:
-                grouped = group_point(points, idx)
+                grouped = group_point(cpoints, idx)
                 if self.use_xyz:
                     grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
             else:

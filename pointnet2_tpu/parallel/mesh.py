@@ -42,6 +42,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-host: each process passes its *local* shard and the global array
+    is assembled across hosts (the local batch must be
+    global_batch / process_count rows, in process_index order).
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), batch)

@@ -50,6 +50,7 @@ class TrainConfig:
     log_dir: str = "log"
     ckpt_every_epochs: int = 10
     seed: int = 0
+    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
     model_kwargs: dict = field(default_factory=dict)
 
 
@@ -58,7 +59,10 @@ class Trainer:
         self.config = config
         spec = MODEL_REGISTRY[config.model]
         self.task = spec.task
-        self.model = spec.cls(**config.model_kwargs)
+        model_kwargs = dict(config.model_kwargs)
+        if config.compute_dtype == "bfloat16":
+            model_kwargs.setdefault("dtype", jnp.bfloat16)
+        self.model = spec.cls(**model_kwargs)
         self.loss_fn = spec.loss
         self.mesh = mesh if mesh is not None else make_mesh(config.num_devices)
         n_dev = self.mesh.devices.size

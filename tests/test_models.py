@@ -126,3 +126,38 @@ def test_dropout_is_stochastic_in_train_mode(rng):
     l1, _ = model.apply(variables, pc, train=False)
     l2, _ = model.apply(variables, pc, train=False)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_layer_zoo_extras(rng):
+    import flax.linen as fnn
+    from pointnet2_tpu.nn import extras
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    conv = extras.Conv2D(features=8, kernel_size=(3, 3), bn=True)
+    v = conv.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y, _ = conv.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 16, 16, 8)
+    tconv = extras.Conv2DTranspose(features=4, kernel_size=(2, 2),
+                                   strides=(2, 2))
+    v = tconv.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y = tconv.apply(v, x)
+    assert y.shape == (2, 32, 32, 4)
+    assert extras.max_pool2d(x, (2, 2)).shape == (2, 8, 8, 3)
+    x3 = jnp.asarray(rng.rand(1, 8, 8, 8, 2).astype(np.float32))
+    c3 = extras.Conv3D(features=4, kernel_size=(3, 3, 3))
+    v = c3.init({"params": jax.random.PRNGKey(0)}, x3, train=False)
+    assert c3.apply(v, x3).shape == (1, 8, 8, 8, 4)
+    assert extras.avg_pool3d(x3, (2, 2, 2)).shape == (1, 4, 4, 4, 2)
+
+
+def test_bf16_model_forward(rng):
+    pc = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    model = PointNet2ClsSSG(dtype=jnp.bfloat16)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pc, train=False)
+    (logits, _) = model.apply(variables, pc, train=False)
+    assert logits.dtype == jnp.float32  # logits promoted for the loss
+    assert bool(jnp.isfinite(logits).all())
+    # params stay f32
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
