@@ -50,10 +50,32 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="compute dtype (params/stats stay float32)")
     p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed; --batch_size is the "
+                        "GLOBAL batch, data is sharded per host")
     return p
 
 
 def make_datasets(args):
+    """Build (train, eval, on-device-augment-name) for the model's task.
+
+    With --multihost, each process loads only its shard and its loaders
+    yield local batches (global batch / process count)."""
+    import jax
+
+    shard = None
+    if getattr(args, "multihost", False) and jax.process_count() > 1:
+        import copy
+
+        from pointnet2_tpu.parallel import multihost
+
+        shard = (jax.process_index(), jax.process_count())
+        args = copy.copy(args)
+        args.batch_size = multihost.local_batch_size(args.batch_size)
+    return _make_datasets_sharded(args, shard)
+
+
+def _make_datasets_sharded(args, shard):
     task = MODEL_REGISTRY[args.model].task
     if task == "cls":
         if args.synthetic or args.data is None:
@@ -68,19 +90,23 @@ def make_datasets(args):
             from pointnet2_tpu.data import ModelNetDataset
 
             train = ModelNetDataset(args.data, batch_size=args.batch_size,
-                                    npoints=args.num_point, split="train")
+                                    npoints=args.num_point, split="train",
+                                    process_shard=shard)
             test = ModelNetDataset(args.data, batch_size=args.batch_size,
-                                   npoints=args.num_point, split="test")
+                                   npoints=args.num_point, split="test",
+                                   process_shard=shard)
             return train, test, "cls_normals"
         from pointnet2_tpu.data import ModelNetH5Dataset
         import os
 
         train = ModelNetH5Dataset(os.path.join(args.data, "train_files.txt"),
                                   batch_size=args.batch_size,
-                                  npoints=args.num_point)
+                                  npoints=args.num_point,
+                                  process_shard=shard)
         test = ModelNetH5Dataset(os.path.join(args.data, "test_files.txt"),
                                  batch_size=args.batch_size,
-                                 npoints=args.num_point, shuffle=False)
+                                 npoints=args.num_point, shuffle=False,
+                                 process_shard=shard)
         return train, test, "cls"
     if task in ("part_seg", "part_seg_one_hot"):
         if args.synthetic or args.data is None:
@@ -94,9 +120,11 @@ def make_datasets(args):
 
         train = PartNormalDataset(args.data, npoints=args.num_point,
                                   split="trainval",
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  process_shard=shard)
         test = PartNormalDataset(args.data, npoints=args.num_point,
-                                 split="test", batch_size=args.batch_size)
+                                 split="test", batch_size=args.batch_size,
+                                 process_shard=shard)
         return train, test, "none"
     # sem_seg
     if args.synthetic or args.data is None:
@@ -112,9 +140,11 @@ def make_datasets(args):
     from pointnet2_tpu.data import ScannetDataset
 
     train = ScannetDataset(root=args.data, npoints=args.num_point,
-                           split="train", batch_size=args.batch_size)
+                           split="train", batch_size=args.batch_size,
+                           process_shard=shard)
     test = ScannetDataset(root=args.data, npoints=args.num_point,
-                          split="test", batch_size=args.batch_size)
+                          split="test", batch_size=args.batch_size,
+                          process_shard=shard)
     return train, test, "scannet"
 
 
@@ -122,6 +152,10 @@ def main(argv=None) -> None:
     from pointnet2_tpu.train import TrainConfig, Trainer
 
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        from pointnet2_tpu.parallel import multihost
+
+        multihost.initialize()
     train_ds, test_ds, augment = make_datasets(args)
     model_kwargs = {}
     if args.num_classes is not None:

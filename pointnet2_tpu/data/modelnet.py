@@ -25,6 +25,17 @@ import numpy as np
 from pointnet2_tpu.data import augment as A
 
 
+def _host_slice(n: int, shard: tuple[int, int] | None) -> slice:
+    """Contiguous per-host slice of n items for shard=(rank, count)."""
+    if shard is None:
+        return slice(None)
+    rank, count = shard
+    per = n // count
+    start = rank * per
+    stop = start + per if rank < count - 1 else n
+    return slice(start, stop)
+
+
 def _pad_batch(arrs: list[np.ndarray], batch_size: int):
     n = arrs[0].shape[0]
     if n == batch_size:
@@ -37,7 +48,8 @@ class ModelNetH5Dataset:
     """Multi-file HDF5 ModelNet40 reader (XYZ, up to 2048 points/shape)."""
 
     def __init__(self, list_filename: str, batch_size: int = 32,
-                 npoints: int = 1024, shuffle: bool = True, seed: int = 0):
+                 npoints: int = 1024, shuffle: bool = True, seed: int = 0,
+                 process_shard: tuple[int, int] | None = None):
         import h5py  # deferred: only needed for the real dataset
 
         self.batch_size = batch_size
@@ -56,6 +68,8 @@ class ModelNetH5Dataset:
                 self._label.append(np.asarray(h5["label"][:], np.int32).reshape(-1))
         self.data = np.concatenate(self._data, 0)
         self.label = np.concatenate(self._label, 0)
+        sl = _host_slice(len(self.label), process_shard)
+        self.data, self.label = self.data[sl], self.label[sl]
 
     def __len__(self):
         return self.data.shape[0]
@@ -93,7 +107,8 @@ class ModelNetDataset:
     def __init__(self, root: str, batch_size: int = 32, npoints: int = 1024,
                  split: str = "train", normal_channel: bool = True,
                  modelnet10: bool = False, cache_size: int = 15000,
-                 shuffle: bool | None = None, seed: int = 0):
+                 shuffle: bool | None = None, seed: int = 0,
+                 process_shard: tuple[int, int] | None = None):
         self.root = root
         self.batch_size = batch_size
         self.npoints = npoints
@@ -110,6 +125,8 @@ class ModelNetDataset:
             cls = "_".join(sid.split("_")[:-1])
             self.datapath.append(
                 (cls, os.path.join(root, cls, sid + ".txt")))
+        self.datapath = self.datapath[_host_slice(len(self.datapath),
+                                                  process_shard)]
         self.cache_size = cache_size
         self._cache: dict[int, tuple[np.ndarray, np.int32]] = {}
 

@@ -51,7 +51,7 @@ def _load_scenes(root: str, split: str):
 class _ScannetBase:
     def __init__(self, root: str | None = None, npoints: int = 8192,
                  split: str = "train", scenes=None, batch_size: int = 16,
-                 seed: int = 0):
+                 seed: int = 0, process_shard: tuple[int, int] | None = None):
         if scenes is not None:
             self.scene_points_list = [np.asarray(p, np.float32)
                                       for p, _ in scenes]
@@ -69,6 +69,14 @@ class _ScannetBase:
             self.labelweights = compute_label_weights(self.semantic_labels_list)
         else:
             self.labelweights = np.ones(NUM_CLASSES, np.float32)
+        if process_shard is not None:
+            from pointnet2_tpu.data.modelnet import _host_slice
+
+            # class weights are computed on the FULL train set above, then
+            # each host keeps its own scene shard
+            sl = _host_slice(len(self.scene_points_list), process_shard)
+            self.scene_points_list = self.scene_points_list[sl]
+            self.semantic_labels_list = self.semantic_labels_list[sl]
 
     def __len__(self):
         return len(self.scene_points_list)

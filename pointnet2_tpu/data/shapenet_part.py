@@ -49,7 +49,7 @@ class PartNormalDataset:
     def __init__(self, root: str, npoints: int = 2048, split: str = "train",
                  normalize: bool = True, batch_size: int = 16,
                  shuffle: bool | None = None, cache_size: int = 20000,
-                 seed: int = 0):
+                 seed: int = 0, process_shard: tuple[int, int] | None = None):
         self.root = root
         self.npoints = npoints
         self.normalize = normalize
@@ -77,6 +77,11 @@ class PartNormalDataset:
                 if os.path.splitext(fn)[0] in wanted:
                     self.datapath.append((item, os.path.join(d, fn)))
         self.classes = {cat: i for i, cat in enumerate(self.cat)}
+        if process_shard is not None:
+            from pointnet2_tpu.data.modelnet import _host_slice
+
+            self.datapath = self.datapath[_host_slice(len(self.datapath),
+                                                      process_shard)]
         self.cache_size = cache_size
         self._cache: dict[int, tuple] = {}
 
