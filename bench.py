@@ -6,7 +6,9 @@ Prints ONE JSON line:
 Measures the full data-parallel train step (forward + backward + optimizer +
 on-device augmentation) of the flagship classifier at the reference's
 ModelNet40 configuration (1024 points, global batch 32) on the available
-device(s).
+device(s), with the trainer's K-steps-per-dispatch execution so host
+round-trip latency is amortized exactly as in real training
+(Trainer steps_per_call / make_train_multi_step).
 
 Baseline: the reference repo publishes no throughput numbers
 (SURVEY.md §6). We anchor vs_baseline to an estimated 600 clouds/sec for the
@@ -29,8 +31,9 @@ BASELINE_CLOUDS_PER_SEC = 600.0
 
 BATCH = 32
 NPOINTS = 1024
-WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+STEPS_PER_CALL = 25  # scan K steps per dispatch (trainer steps_per_call)
+WARMUP_CALLS = 2
+MEASURE_CALLS = 4
 
 
 def main() -> None:
@@ -45,7 +48,7 @@ def main() -> None:
         exponential_decay_clipped,
     )
     from pointnet2_tpu.train.state import TrainState, make_optimizer
-    from pointnet2_tpu.train.steps import make_train_step
+    from pointnet2_tpu.train.steps import make_train_multi_step
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
@@ -53,13 +56,17 @@ def main() -> None:
     model = spec.cls()
 
     rng = np.random.RandomState(0)
-    batch = {
-        "points": jnp.asarray(rng.rand(BATCH, NPOINTS, 3).astype(np.float32)),
-        "label": jnp.asarray(rng.randint(0, 40, (BATCH,)).astype(np.int32)),
+    # K distinct batches stacked along the scan axis (the trainer's
+    # steps_per_call prefetch layout).
+    batches = {
+        "points": jnp.asarray(
+            rng.rand(STEPS_PER_CALL, BATCH, NPOINTS, 3).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.randint(0, 40, (STEPS_PER_CALL, BATCH)).astype(np.int32)),
     }
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["points"])
+        batches["points"][0])
     lr = exponential_decay_clipped(1e-3, BATCH, 200000, 0.7)
     tx = make_optimizer("adam", lr)
     bn_fn = bn_momentum_schedule(BATCH, 200000)
@@ -68,27 +75,28 @@ def main() -> None:
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_train_step(model, spec.loss, tx, bn_fn, task="cls", mesh=mesh,
-                           augment="cls")
-    device_batch = shard_batch(mesh, batch)
+    step = make_train_multi_step(model, spec.loss, tx, bn_fn, task="cls",
+                                 mesh=mesh, augment="cls")
+    device_batches = shard_batch(mesh, batches, stacked=True)
     key = jax.random.PRNGKey(0)
 
-    # Steps chain through `state`, so fetching the last step's loss fences
-    # the whole sequence. (On remote-device transports block_until_ready
-    # can return early — only a result fetch is a reliable fence.)
-    for i in range(WARMUP_STEPS):
+    # Dispatches chain through `state`, so fetching the last call's loss
+    # fences the whole sequence. (On remote-device transports
+    # block_until_ready can return early — only a result fetch is a
+    # reliable fence.)
+    for i in range(WARMUP_CALLS):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, device_batch, sub)
-    float(metrics["loss"])
+        state, metrics = step(state, device_batches, sub)
+    float(metrics["loss"][-1])
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
+    for i in range(MEASURE_CALLS):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, device_batch, sub)
-    float(metrics["loss"])
+        state, metrics = step(state, device_batches, sub)
+    float(metrics["loss"][-1])
     dt = time.perf_counter() - t0
 
-    clouds_per_sec = BATCH * MEASURE_STEPS / dt
+    clouds_per_sec = BATCH * STEPS_PER_CALL * MEASURE_CALLS / dt
     per_chip = clouds_per_sec / n_dev
     print(json.dumps({
         "metric": "train_clouds_per_sec_per_chip",

@@ -25,6 +25,7 @@ from pointnet2_tpu.ops import (
     gather_point,
     group_point,
     knn_point,
+    query_ball_and_group_xyz,
     query_ball_point,
     three_interpolate,
     three_nn,
@@ -45,17 +46,23 @@ def sample_and_group(npoint, radius, nsample, xyz, points, knn=False,
     idx (B,npoint,nsample), grouped_xyz (B,npoint,nsample,3)).
     """
     new_xyz = gather_point(xyz, farthest_point_sample(xyz, npoint))
+    cxyz = xyz.astype(dtype) if dtype is not None else xyz
+    center = new_xyz[:, :, None, :].astype(cxyz.dtype)
     if knn:
         _, idx = knn_point(nsample, xyz, new_xyz)
+        grouped_xyz = group_point(cxyz, idx) - center
     else:
-        idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
-    cxyz = xyz.astype(dtype) if dtype is not None else xyz
-    grouped_xyz = group_point(cxyz, idx) - new_xyz[:, :, None, :].astype(cxyz.dtype)
+        # Fused ball-query + coordinate-gather kernel: the selection mask
+        # computed during the query extracts the neighbor xyz in the same
+        # VMEM pass (no second one-hot gather).
+        idx, _, raw = query_ball_and_group_xyz(radius, nsample, xyz, new_xyz)
+        grouped_xyz = raw.astype(cxyz.dtype) - center
     if points is not None:
         cpoints = points.astype(dtype) if dtype is not None else points
         grouped_points = group_point(cpoints, idx)
         if use_xyz:
-            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+            new_points = jnp.concatenate([grouped_xyz, grouped_points],
+                                         axis=-1)
         else:
             new_points = grouped_points
     else:
@@ -165,11 +172,13 @@ class SetAbstractionMSG(nn.Module):
         cpoints = (points.astype(self.dtype)
                    if self.dtype is not None and points is not None else points)
         outs = []
+        center = new_xyz[:, :, None, :].astype(cxyz.dtype)
         for i, (radius, nsample) in enumerate(zip(self.radius_list,
                                                   self.nsample_list)):
-            idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped_xyz = (group_point(cxyz, idx)
-                           - new_xyz[:, :, None, :].astype(cxyz.dtype))
+            # fused ball-query + coordinate-gather per scale
+            idx, _, raw = query_ball_and_group_xyz(radius, nsample, xyz,
+                                                   new_xyz)
+            grouped_xyz = raw.astype(cxyz.dtype) - center
             if points is not None:
                 grouped = group_point(cpoints, idx)
                 if self.use_xyz:

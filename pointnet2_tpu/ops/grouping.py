@@ -70,12 +70,64 @@ def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Arr
         padded with the first hit).
       pts_cnt: (B, M) int32 number of in-ball points, capped at nsample.
     """
+    # Index-producing: no gradient (reference: ops.NoGradient,
+    # tf_grouping.py:21,32); stop_gradient keeps AD from linearizing the
+    # Pallas custom call.
+    xyz1 = jax.lax.stop_gradient(xyz1)
+    xyz2 = jax.lax.stop_gradient(xyz2)
     resolved = config.resolve_impl(impl)
     if resolved == "pallas":
         from pointnet2_tpu.ops.pallas.ball_query import ball_query_pallas
 
         return ball_query_pallas(radius, nsample, xyz1, xyz2)
     return _ball_query_xla(radius, nsample, xyz1, xyz2)
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "impl"))
+def query_ball_and_group_xyz(radius: float, nsample: int, xyz1: jax.Array,
+                             xyz2: jax.Array, impl: str | None = None):
+    """Fused ball query + neighbor-coordinate gather (one kernel pass).
+
+    Equivalent to ``idx, cnt = query_ball_point(...)`` followed by
+    ``group_point(xyz1, idx)`` but without materialising a second one-hot
+    gather pass (the selection mask computed during the ball query extracts
+    the coordinates directly). Gradient w.r.t. xyz1 is the same
+    deterministic scatter-add as group_point's; idx/cnt produce none.
+
+    Returns (idx (B,M,nsample) i32, pts_cnt (B,M) i32,
+    grouped_xyz (B,M,nsample,3) uncentered).
+    """
+    if config.resolve_impl(impl) == "pallas":
+        return _bq_group_pallas(radius, nsample, xyz1, xyz2)
+    idx, cnt = _ball_query_xla(radius, nsample, xyz1, xyz2)
+    return idx, cnt, _group_point_xla(xyz1, idx)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bq_group_pallas(radius, nsample, xyz1, xyz2):
+    from pointnet2_tpu.ops.pallas.ball_query import (
+        ball_query_group_xyz_pallas,
+    )
+
+    return ball_query_group_xyz_pallas(radius, nsample, xyz1, xyz2)
+
+
+def _bqg_fwd(radius, nsample, xyz1, xyz2):
+    out = _bq_group_pallas(radius, nsample, xyz1, xyz2)
+    return out, (out[0], xyz1.shape[1], xyz2.shape)
+
+
+def _bqg_bwd(radius, nsample, res, g):
+    from pointnet2_tpu.ops.pallas.group import _scatter_rows
+
+    idx, n, q_shape = res
+    dg = g[2]  # cotangent of grouped_xyz; idx/cnt are int outputs
+    B, m, s, C = dg.shape
+    grad = _scatter_rows(dg.reshape(B, m * s, C), idx.reshape(B, m * s), n)
+    return grad, jnp.zeros(q_shape, grad.dtype)
+
+
+_bq_group_pallas.defvjp(_bqg_fwd, _bqg_bwd)
 
 
 @jax.custom_vjp

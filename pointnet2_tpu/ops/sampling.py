@@ -63,6 +63,10 @@ def farthest_point_sample(xyz: jax.Array, npoint: int, impl: str | None = None) 
     Returns:
       (B, npoint) int32 indices into N. The first index is always 0.
     """
+    # Index-producing: no gradient, like the reference's ops.NoGradient
+    # (tf_sampling.py:22). stop_gradient also keeps reverse-mode AD from
+    # trying to linearize the Pallas custom call (which has no JVP rule).
+    xyz = jax.lax.stop_gradient(xyz)
     resolved = config.resolve_impl(impl)
     if resolved == "pallas":
         from pointnet2_tpu.ops.pallas.fps import fps_pallas

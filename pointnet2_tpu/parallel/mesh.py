@@ -41,15 +41,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, *, stacked: bool = False):
     """Device-put a host batch pytree with the batch axis sharded.
 
     Single-process: a plain sharded device_put of the global batch.
     Multi-host: each process passes its *local* shard and the global array
     is assembled across hosts (the local batch must be
     global_batch / process_count rows, in process_index order).
+
+    With ``stacked=True`` the arrays carry a leading steps axis (K, B, ...)
+    and axis 1 is the sharded batch axis (make_train_multi_step layout).
     """
-    sh = batch_sharding(mesh)
+    sh = NamedSharding(mesh, P(None, DATA_AXIS) if stacked else P(DATA_AXIS))
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
     return jax.tree_util.tree_map(

@@ -15,23 +15,28 @@ Design choices (documented deltas from the reference):
   RNG (replaces the host-side provider.py loops).
 - Dropout RNG is folded with the data-axis index so replicas draw
   independent masks.
+- make_train_multi_step scans K host-prefetched batches per dispatch so the
+  chip never idles on host round trips (the reference pays one sess.run
+  feed_dict round trip per step, train.py:210-211).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pointnet2_tpu.data import augment_jax
-from pointnet2_tpu.nn.layers import cross_replica_bn
 from pointnet2_tpu.parallel.mesh import DATA_AXIS
 from pointnet2_tpu.train.state import TrainState
+from pointnet2_tpu.train.steps_body import (  # noqa: F401 (re-exported)
+    _accuracy,
+    _loss_args,
+    _model_inputs,
+    run_one_step,
+)
 
 AUGMENTATIONS: dict[str, Callable] = {
     "none": None,
@@ -41,27 +46,24 @@ AUGMENTATIONS: dict[str, Callable] = {
 }
 
 
-def _model_inputs(batch: dict, task: str):
-    """Positional model inputs for each task family."""
-    if task == "part_seg_one_hot":
-        return (batch["points"], batch["cls_label"])
-    return (batch["points"],)
-
-
-def _loss_args(batch: dict, task: str):
-    if task == "cls":
-        return (batch["label"],)
-    if task in ("part_seg", "part_seg_one_hot"):
-        return (batch["seg"],)
-    if task == "sem_seg":
-        return (batch["seg"], batch["smpw"])
-    raise ValueError(f"unknown task {task!r}")
-
-
-def _accuracy(logits, batch, task):
-    if task == "cls":
-        return jnp.mean(jnp.argmax(logits, -1) == batch["label"])
-    return jnp.mean(jnp.argmax(logits, -1) == batch["seg"])
+def _finalize(local_fn, mesh: Mesh | None, batch_spec):
+    """jit (and shard_map, with a mesh) a local step function with the
+    standard replicated-state / data-sharded-batch layout."""
+    if mesh is None:
+        return jax.jit(local_fn, donate_argnums=0)
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, batch_spec)
+    return jax.jit(
+        sharded, donate_argnums=0,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
 
 
 def make_train_step(model, loss_fn, tx, bn_momentum_fn, task: str = "cls",
@@ -77,55 +79,42 @@ def make_train_step(model, loss_fn, tx, bn_momentum_fn, task: str = "cls",
     def local_step(state: TrainState, batch: dict, rng: jax.Array):
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        aug_rng, dropout_rng = jax.random.split(rng)
-        if augment_fn is not None:
-            batch = dict(batch, points=augment_fn(aug_rng, batch["points"]))
-        bn_momentum = bn_momentum_fn(state.step)
+        return run_one_step(model, loss_fn, tx, bn_momentum_fn, task,
+                            augment_fn, mesh is not None, state, batch, rng)
 
-        bn_axis = DATA_AXIS if mesh is not None else None
+    return _finalize(local_step, mesh, P(DATA_AXIS))
 
-        def loss_of(params):
-            with cross_replica_bn(bn_axis):
-                (logits, _), mutated = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    *_model_inputs(batch, task), train=True,
-                    bn_momentum=bn_momentum,
-                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
-            loss = loss_fn(logits, *_loss_args(batch, task))
-            return loss, (logits, mutated["batch_stats"])
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
-        acc = _accuracy(logits, batch, task)
+def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
+                          task: str = "cls", mesh: Mesh | None = None,
+                          augment: str = "none"):
+    """Build a jitted K-steps-per-dispatch train step (lax.scan inside one
+    executable).
+
+    Returns step(state, batches, rng) -> (state, metrics) where every array
+    in `batches` is stacked along a leading axis K and each metric comes
+    back with that leading K axis. Per-step semantics are identical to
+    :func:`make_train_step` (per-step augmentation/dropout RNG, BN momentum
+    from the live step counter, grads pmean'd over the mesh); K is read
+    from the batch stack, so one compiled executable per distinct K.
+    """
+    augment_fn = AUGMENTATIONS[augment]
+
+    def local_multi(state: TrainState, batches: dict, rng: jax.Array):
         if mesh is not None:
-            # new_stats needs no reduction: BN statistics are already synced
-            # cross-replica inside the forward (see cross_replica_bn).
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
-            acc = jax.lax.pmean(acc, DATA_AXIS)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_stats,
-                               opt_state=new_opt_state)
-        return new_state, {"loss": loss, "accuracy": acc}
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        nsteps = jax.tree_util.tree_leaves(batches)[0].shape[0]
 
-    if mesh is None:
-        return jax.jit(local_step, donate_argnums=0)
+        def body(state, xs):
+            i, batch = xs
+            return run_one_step(model, loss_fn, tx, bn_momentum_fn, task,
+                                augment_fn, mesh is not None, state, batch,
+                                jax.random.fold_in(rng, i))
 
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(
-        sharded, donate_argnums=0,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
-    )
+        steps = jnp.arange(nsteps, dtype=jnp.int32)
+        return jax.lax.scan(body, state, (steps, batches))
+
+    return _finalize(local_multi, mesh, P(None, DATA_AXIS))
 
 
 def make_eval_step(model, task: str = "cls", mesh: Mesh | None = None):

@@ -1,0 +1,81 @@
+"""Shared single-optimizer-step body used by both step factories.
+
+Kept in its own module so make_train_step (one dispatch per step) and
+make_train_multi_step (K steps scanned per dispatch) stay thin wrappers
+around identical math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointnet2_tpu.nn.layers import cross_replica_bn
+from pointnet2_tpu.parallel.mesh import DATA_AXIS
+from pointnet2_tpu.train.state import TrainState
+
+
+def _model_inputs(batch: dict, task: str):
+    """Positional model inputs for each task family."""
+    if task == "part_seg_one_hot":
+        return (batch["points"], batch["cls_label"])
+    return (batch["points"],)
+
+
+def _loss_args(batch: dict, task: str):
+    if task == "cls":
+        return (batch["label"],)
+    if task in ("part_seg", "part_seg_one_hot"):
+        return (batch["seg"],)
+    if task == "sem_seg":
+        return (batch["seg"], batch["smpw"])
+    raise ValueError(f"unknown task {task!r}")
+
+
+def _accuracy(logits, batch, task):
+    if task == "cls":
+        return jnp.mean(jnp.argmax(logits, -1) == batch["label"])
+    return jnp.mean(jnp.argmax(logits, -1) == batch["seg"])
+
+
+def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
+                 mesh_present: bool, state: TrainState, batch: dict,
+                 step_rng: jax.Array):
+    """One forward/backward/optimizer step on already-per-replica data.
+
+    `step_rng` must already be folded with the replica index (and, for
+    scanned multi-step execution, the step index). Returns
+    (new_state, {"loss", "accuracy"}) with scalars pmean'd over the data
+    axis when running under shard_map.
+    """
+    aug_rng, dropout_rng = jax.random.split(step_rng)
+    if augment_fn is not None:
+        batch = dict(batch, points=augment_fn(aug_rng, batch["points"]))
+    bn_momentum = bn_momentum_fn(state.step)
+    bn_axis = DATA_AXIS if mesh_present else None
+
+    def loss_of(params):
+        with cross_replica_bn(bn_axis):
+            (logits, _), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                *_model_inputs(batch, task), train=True,
+                bn_momentum=bn_momentum,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        loss = loss_fn(logits, *_loss_args(batch, task))
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_of, has_aux=True)(state.params)
+    acc = _accuracy(logits, batch, task)
+    if mesh_present:
+        # new_stats needs no reduction: BN statistics are already synced
+        # cross-replica inside the forward (see cross_replica_bn).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        acc = jax.lax.pmean(acc, DATA_AXIS)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=new_params,
+                           batch_stats=new_stats, opt_state=new_opt_state)
+    return new_state, {"loss": loss, "accuracy": acc}

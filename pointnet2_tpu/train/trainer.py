@@ -27,7 +27,11 @@ from pointnet2_tpu.train.schedules import (
     exponential_decay_clipped,
 )
 from pointnet2_tpu.train.state import TrainState, make_optimizer
-from pointnet2_tpu.train.steps import make_eval_step, make_train_step
+from pointnet2_tpu.train.steps import (
+    make_eval_step,
+    make_train_multi_step,
+    make_train_step,
+)
 
 
 @dataclass
@@ -46,6 +50,7 @@ class TrainConfig:
     bn_decay_clip: float = 0.99
     augment: str = "none"  # none | cls | cls_normals | scannet (on-device)
     host_augment: bool = False  # use the dataset's numpy augmentation instead
+    steps_per_call: int = 1  # scan K prefetched batches per device dispatch
     num_devices: int | None = None
     log_dir: str = "log"
     ckpt_every_epochs: int = 10
@@ -82,6 +87,11 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.tx, self.bn_schedule,
             task=self.task, mesh=self.mesh, augment=config.augment)
+        self.train_multi_step = None
+        if config.steps_per_call > 1:
+            self.train_multi_step = make_train_multi_step(
+                self.model, self.loss_fn, self.tx, self.bn_schedule,
+                task=self.task, mesh=self.mesh, augment=config.augment)
         self.eval_step = make_eval_step(self.model, task=self.task,
                                         mesh=self.mesh)
         self._rng = jax.random.PRNGKey(config.seed)
@@ -133,14 +143,44 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, state: TrainState, dataset, epoch: int):
         losses, accs, n = [], [], 0
+        K = max(1, self.config.steps_per_call)
+        buf: list[dict] = []
+
+        def flush(state):
+            nonlocal buf
+            if not buf:
+                return state
+            self._rng, step_rng = jax.random.split(self._rng)
+            if len(buf) < K or self.train_multi_step is None:
+                # epoch remainder: single steps, avoids a second compile
+                for b in buf:
+                    device_batch = shard_batch(self.mesh,
+                                               self._device_view(b))
+                    state, metrics = self.train_step(state, device_batch,
+                                                     step_rng)
+                    losses.append(metrics["loss"])
+                    accs.append(metrics["accuracy"])
+                    self._rng, step_rng = jax.random.split(self._rng)
+            else:
+                stacked = {
+                    k: np.stack([self._device_view(b)[k] for b in buf])
+                    for k in self._device_view(buf[0])
+                }
+                device_batches = shard_batch(self.mesh, stacked, stacked=True)
+                state, metrics = self.train_multi_step(state, device_batches,
+                                                       step_rng)
+                losses.extend(metrics["loss"])
+                accs.extend(metrics["accuracy"])
+            buf = []
+            return state
+
         t0 = time.time()
         for batch in dataset.epoch(augment=self.config.host_augment):
-            self._rng, step_rng = jax.random.split(self._rng)
-            device_batch = shard_batch(self.mesh, self._device_view(batch))
-            state, metrics = self.train_step(state, device_batch, step_rng)
-            losses.append(metrics["loss"])
-            accs.append(metrics["accuracy"])
+            buf.append(batch)
             n += batch["nvalid"]
+            if len(buf) == K:
+                state = flush(state)
+        state = flush(state)
         dt = time.time() - t0
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
