@@ -89,7 +89,9 @@ class ConvBN(nn.Module):
 
     Replaces tf_util.conv1d/conv2d with 1x1 kernels (utils/tf_util.py:52-185):
     on TPU a shared point MLP is one big (B*npoint*nsample, Cin)x(Cin, Cout)
-    matmul on the MXU.
+    matmul on the MXU. The linear part is exposed separately (``dense`` /
+    ``post``) so SetAbstraction can lift the first matmul through the
+    neighbor gather (dense commutes with row gathers — see nn/pointnet.py).
     """
 
     features: int
@@ -97,20 +99,28 @@ class ConvBN(nn.Module):
     activation: Callable | None = nn.relu
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, bn_momentum: jax.Array | float = 0.9):
-        x = nn.Dense(
+    def setup(self):
+        self.dense = nn.Dense(
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )
+        self.norm = BatchNorm(dtype=self.dtype)
+
+    def post(self, x, train: bool = False,
+             bn_momentum: jax.Array | float = 0.9):
+        """The non-linear tail (BN + activation) after the dense."""
         if self.bn:
-            x = BatchNorm(dtype=self.dtype)(x, train, bn_momentum)
+            x = self.norm(x, train, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
         return x
+
+    def __call__(self, x, train: bool = False,
+                 bn_momentum: jax.Array | float = 0.9):
+        return self.post(self.dense(x), train, bn_momentum)
 
 
 # The reference distinguishes conv (on point grids) from fully_connected
@@ -119,15 +129,45 @@ DenseBN = ConvBN
 
 
 class SharedMLP(nn.Module):
-    """A stack of ConvBN layers applied pointwise (the per-point MLP)."""
+    """A stack of ConvBN layers applied pointwise (the per-point MLP).
+
+    ``lift_first`` / ``finish_first`` split layer 0 around its dense so a
+    caller can apply the first matmul on the un-gathered point set and the
+    rest on the gathered neighbor tensor (see SetAbstraction)."""
 
     features: Sequence[int]
     bn: bool = True
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, bn_momentum: jax.Array | float = 0.9):
-        for i, f in enumerate(self.features):
-            x = ConvBN(f, bn=self.bn, dtype=self.dtype, name=f"conv{i}")(
-                x, train, bn_momentum)
+    def setup(self):
+        self.blocks = [
+            ConvBN(f, bn=self.bn, dtype=self.dtype, name=f"conv{i}")
+            for i, f in enumerate(self.features)
+        ]
+
+    def lift_first(self, x):
+        """Apply only layer 0's dense (linear: commutes with gathers).
+
+        For f32 inputs the matmul runs at explicit float32 precision: the
+        caller subtracts a lifted center term (gW - cW), and the TPU's
+        default bf16 matmul rounding would be amplified by that
+        cancellation. The lift runs on the un-gathered N points, so the
+        extra precision is ~free."""
+        if x.dtype == jnp.float32:
+            with jax.default_matmul_precision("float32"):
+                return self.blocks[0].dense(x)
+        return self.blocks[0].dense(x)
+
+    def finish_first(self, x, train: bool = False,
+                     bn_momentum: jax.Array | float = 0.9):
+        """Layer 0's BN+activation, then the remaining layers."""
+        x = self.blocks[0].post(x, train, bn_momentum)
+        for block in self.blocks[1:]:
+            x = block(x, train, bn_momentum)
+        return x
+
+    def __call__(self, x, train: bool = False,
+                 bn_momentum: jax.Array | float = 0.9):
+        for block in self.blocks:
+            x = block(x, train, bn_momentum)
         return x

@@ -105,12 +105,46 @@ def _pool(new_points, grouped_xyz, pooling: str):
     raise ValueError(f"unknown pooling {pooling!r}")
 
 
+def _lifted_center_term(mlp_mod, new_xyz, feat_width: int, xyz_first: bool,
+                        dtype):
+    """W_xyz^T · new_xyz for the lifted first dense, without touching the
+    kernel params directly: Dense([c, 0]) - Dense([0, 0]) == c @ W_xyz
+    (the bias cancels; the zero blocks constant-fold in XLA).
+
+    feat_width: channel count of the non-xyz part of the dense input;
+    xyz_first: whether xyz occupies the leading 3 input channels."""
+    B, M, _ = new_xyz.shape
+    c = new_xyz.astype(dtype)
+    if feat_width:
+        zeros = jnp.zeros((B, M, feat_width), dtype)
+        parts = [c, zeros] if xyz_first else [zeros, c]
+        csrc = jnp.concatenate(parts, axis=-1)
+    else:
+        csrc = c
+    return mlp_mod.lift_first(csrc) - mlp_mod.lift_first(jnp.zeros_like(csrc))
+
+
 class SetAbstraction(nn.Module):
     """PointNet++ SA module (single-scale or group-all).
 
     Mirrors pointnet_sa_module (utils/pointnet_util.py:87-154).
     __call__(xyz (B,N,3), points (B,N,C)|None) ->
       (new_xyz (B,np,3), new_points (B,np,C'), idx (B,np,ns)).
+
+    TPU-first layout (``fuse_first=True``, the default): the first MLP
+    layer's dense is linear, so it commutes with the neighbor gather and
+    the center subtraction —
+
+        Dense(concat[gather(xyz) - c, gather(pts)])
+          == gather(Dense(concat[xyz, pts])) - c @ W_xyz
+
+    The dense therefore runs on the N un-gathered points (16-32x fewer rows
+    than npoint*nsample), the gather moves mlp[0]-wide rows (a single
+    MXU-friendly one-hot contraction instead of a narrow C=3 pass plus a
+    feature pass), and only BN+ReLU touch the grouped tensor. Numerics
+    differ from the reference layout only by float reassociation.
+    ``weighted_avg`` pooling needs the raw grouped offsets, so it uses the
+    unfused path.
     """
 
     npoint: int | None
@@ -124,26 +158,61 @@ class SetAbstraction(nn.Module):
     knn: bool = False
     use_xyz: bool = True
     dtype: Any = None
+    fuse_first: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.mlp_mod = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype)
+        if self.mlp2:
+            self.mlp2_mod = SharedMLP(self.mlp2, bn=self.bn, dtype=self.dtype)
+
+    def _fused_forward(self, xyz, points, train, bn_momentum):
+        """Sample/group with the first dense lifted through the gather."""
+        new_xyz = gather_point(xyz, farthest_point_sample(xyz, self.npoint))
+        if self.knn:
+            _, idx = knn_point(self.nsample, xyz, new_xyz)
+        else:
+            idx, _ = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+
+        dt = self.dtype or xyz.dtype
+        cxyz = xyz.astype(dt)
+        if points is None:
+            src = cxyz
+        elif self.use_xyz:
+            src = jnp.concatenate([cxyz, points.astype(dt)], axis=-1)
+        else:
+            src = points.astype(dt)
+        lifted = self.mlp_mod.lift_first(src)  # (B, N, mlp[0])
+        grouped = group_point(lifted, idx)  # (B, np, ns, mlp[0])
+        if points is None or self.use_xyz:
+            feat_width = 0 if points is None else points.shape[-1]
+            cw = _lifted_center_term(self.mlp_mod, new_xyz, feat_width,
+                                     xyz_first=True, dtype=dt)
+            grouped = grouped - cw[:, :, None, :]
+        new_points = self.mlp_mod.finish_first(grouped, train, bn_momentum)
+        return new_xyz, new_points, idx
+
     def __call__(self, xyz, points, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
-        if self.group_all:
-            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
-                xyz, points, self.use_xyz)
+        fused = (self.fuse_first and not self.group_all
+                 and self.pooling != "weighted_avg")
+        if fused:
+            new_xyz, new_points, idx = self._fused_forward(
+                xyz, points, train, bn_momentum)
+            new_points = _pool(new_points, None, self.pooling)
         else:
-            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, points,
-                self.knn, self.use_xyz, dtype=self.dtype)
-
-        if self.dtype is not None:
-            new_points = new_points.astype(self.dtype)
-        new_points = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype,
-                               name="mlp")(new_points, train, bn_momentum)
-        new_points = _pool(new_points, grouped_xyz, self.pooling)
+            if self.group_all:
+                new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                    xyz, points, self.use_xyz)
+            else:
+                new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                    self.npoint, self.radius, self.nsample, xyz, points,
+                    self.knn, self.use_xyz, dtype=self.dtype)
+            if self.dtype is not None:
+                new_points = new_points.astype(self.dtype)
+            new_points = self.mlp_mod(new_points, train, bn_momentum)
+            new_points = _pool(new_points, grouped_xyz, self.pooling)
         if self.mlp2:
-            new_points = SharedMLP(self.mlp2, bn=self.bn, dtype=self.dtype,
-                                   name="mlp2")(new_points, train, bn_momentum)
+            new_points = self.mlp2_mod(new_points, train, bn_momentum)
         return new_xyz, new_points, idx
 
 
@@ -163,32 +232,60 @@ class SetAbstractionMSG(nn.Module):
     bn: bool = True
     use_xyz: bool = True
     dtype: Any = None
+    fuse_first: bool = True
 
-    @nn.compact
+    def setup(self):
+        # list attribute -> flax scopes mlp_mods_0, mlp_mods_1, ...
+        self.mlp_mods = [
+            SharedMLP(mlp, bn=self.bn, dtype=self.dtype)
+            for mlp in self.mlp_list
+        ]
+
     def __call__(self, xyz, points, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
         new_xyz = gather_point(xyz, farthest_point_sample(xyz, self.npoint))
-        cxyz = xyz.astype(self.dtype) if self.dtype is not None else xyz
-        cpoints = (points.astype(self.dtype)
-                   if self.dtype is not None and points is not None else points)
+        dt = (self.dtype or xyz.dtype)
+        cxyz = xyz.astype(dt)
+        cpoints = points.astype(dt) if points is not None else None
         outs = []
-        center = new_xyz[:, :, None, :].astype(cxyz.dtype)
-        for i, (radius, nsample) in enumerate(zip(self.radius_list,
-                                                  self.nsample_list)):
+        if self.fuse_first:
+            # One lifted source per scale (each scale has its own dense);
+            # concat order is [features, xyz] — the reverse of single-scale
+            # sample_and_group — matching utils/pointnet_util.py:179-183.
+            if cpoints is None:
+                src = cxyz
+            elif self.use_xyz:
+                src = jnp.concatenate([cpoints, cxyz], axis=-1)
+            else:
+                src = cpoints
+            feat_width = 0 if cpoints is None else cpoints.shape[-1]
+            center_needed = cpoints is None or self.use_xyz
+            for mlp_mod, radius, nsample in zip(
+                    self.mlp_mods, self.radius_list, self.nsample_list):
+                idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
+                grouped = group_point(mlp_mod.lift_first(src), idx)
+                if center_needed:
+                    cw = _lifted_center_term(mlp_mod, new_xyz, feat_width,
+                                             xyz_first=False, dtype=dt)
+                    grouped = grouped - cw[:, :, None, :]
+                grouped = mlp_mod.finish_first(grouped, train, bn_momentum)
+                outs.append(jnp.max(grouped, axis=2))
+            return new_xyz, jnp.concatenate(outs, axis=-1)
+
+        center = new_xyz[:, :, None, :].astype(dt)
+        for mlp_mod, radius, nsample in zip(
+                self.mlp_mods, self.radius_list, self.nsample_list):
             # fused ball-query + coordinate-gather per scale
             idx, _, raw = query_ball_and_group_xyz(radius, nsample, xyz,
                                                    new_xyz)
-            grouped_xyz = raw.astype(cxyz.dtype) - center
+            grouped_xyz = raw.astype(dt) - center
             if points is not None:
                 grouped = group_point(cpoints, idx)
                 if self.use_xyz:
                     grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
-            if self.dtype is not None:
-                grouped = grouped.astype(self.dtype)
-            grouped = SharedMLP(self.mlp_list[i], bn=self.bn, dtype=self.dtype,
-                                name=f"mlp_{i}")(grouped, train, bn_momentum)
+            grouped = mlp_mod(grouped, train, bn_momentum)
             outs.append(jnp.max(grouped, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

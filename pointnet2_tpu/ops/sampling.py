@@ -85,6 +85,27 @@ def _gather_point_xla(points: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(points, idx[:, :, None], axis=1)
 
 
+@jax.custom_vjp
+def _gather_point_mxu(points: jax.Array, idx: jax.Array) -> jax.Array:
+    from pointnet2_tpu.ops.grouping import onehot_gather_rows
+
+    return onehot_gather_rows(points, idx)
+
+
+def _gather_point_mxu_fwd(points, idx):
+    return _gather_point_mxu(points, idx), (idx, points.shape[1])
+
+
+def _gather_point_mxu_bwd(res, g):
+    from pointnet2_tpu.ops.grouping import onehot_scatter_rows
+
+    idx, n = res
+    return onehot_scatter_rows(g, idx, n), None
+
+
+_gather_point_mxu.defvjp(_gather_point_mxu_fwd, _gather_point_mxu_bwd)
+
+
 def gather_point(points: jax.Array, idx: jax.Array,
                  impl: str | None = None) -> jax.Array:
     """Gather rows of points by per-batch indices.
@@ -92,12 +113,16 @@ def gather_point(points: jax.Array, idx: jax.Array,
     points: (B, N, C); idx: (B, M) int32 -> (B, M, C).
     Gradient w.r.t. points is a deterministic scatter-add; idx gets none
     (mirrors GatherPoint/GatherPointGrad, tf_sampling.cpp:41-63). On TPU
-    both directions run as MXU one-hot contractions (ops/pallas/group.py).
+    both directions run as one-hot MXU contractions (the ``mxu`` einsum
+    formulation by default; Pallas kernels via impl="pallas").
     """
-    if config.resolve_impl(impl) == "pallas":
+    resolved = config.resolve_gather_impl(impl)
+    if resolved == "pallas":
         from pointnet2_tpu.ops.pallas.group import gather_point_pallas
 
         return gather_point_pallas(points, idx)
+    if resolved == "mxu" and jnp.issubdtype(points.dtype, jnp.floating):
+        return _gather_point_mxu(points, idx)
     return _gather_point_xla(points, idx)
 
 

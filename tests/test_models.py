@@ -161,3 +161,41 @@ def test_bf16_model_forward(rng):
     # params stay f32
     for leaf in jax.tree_util.tree_leaves(variables["params"]):
         assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("use_points,use_xyz", [(False, True), (True, True),
+                                                (True, False)])
+def test_sa_fused_first_layer_matches_unfused(rng, use_points, use_xyz):
+    """The lifted-dense SA layout (gather commutes with the first matmul)
+    must match the reference layout up to float reassociation."""
+    from pointnet2_tpu.nn.pointnet import SetAbstraction
+
+    xyz = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    pts = (jnp.asarray(rng.rand(2, 128, 16).astype(np.float32))
+           if use_points else None)
+    fused = SetAbstraction(32, 0.3, 8, (16, 32), use_xyz=use_xyz,
+                           fuse_first=True)
+    plain = SetAbstraction(32, 0.3, 8, (16, 32), use_xyz=use_xyz,
+                           fuse_first=False)
+    v = fused.init(jax.random.PRNGKey(0), xyz, pts, train=False)
+    _, got, gidx = fused.apply(v, xyz, pts, train=False)
+    _, want, widx = plain.apply(v, xyz, pts, train=False)
+    np.testing.assert_array_equal(np.asarray(gidx), np.asarray(widx))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sa_msg_fused_first_layer_matches_unfused(rng):
+    from pointnet2_tpu.nn.pointnet import SetAbstractionMSG
+
+    xyz = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    pts = jnp.asarray(rng.rand(2, 128, 16).astype(np.float32))
+    fused = SetAbstractionMSG(32, (0.2, 0.4), (8, 16), ((16, 32), (16, 32)),
+                              fuse_first=True)
+    plain = SetAbstractionMSG(32, (0.2, 0.4), (8, 16), ((16, 32), (16, 32)),
+                              fuse_first=False)
+    v = fused.init(jax.random.PRNGKey(0), xyz, pts, train=False)
+    _, got = fused.apply(v, xyz, pts, train=False)
+    _, want = plain.apply(v, xyz, pts, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

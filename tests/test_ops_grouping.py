@@ -142,3 +142,41 @@ def test_gather_point_pallas_matches_xla(rng):
     gp = np.asarray(jax.grad(lambda p: jnp.vdot(gather_point_pallas(p, idx), cot))(pts))
     gx = np.asarray(jax.grad(lambda p: jnp.vdot(gather_point(p, idx, impl="xla"), cot))(pts))
     np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("B,N,M,S,C", [(2, 64, 16, 8, 32), (1, 100, 7, 3, 5)])
+def test_group_point_mxu_exact(rng, dtype, B, N, M, S, C):
+    """The one-hot einsum gather (TPU default) is value-exact, both dtypes."""
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(dtype)
+    idx = jnp.asarray(rng.randint(0, N, (B, M, S)).astype(np.int32))
+    got = np.asarray(group_point(pts, idx, impl="mxu"))
+    want = np.asarray(group_point(pts, idx, impl="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_group_point_mxu_grad_matches_xla(rng):
+    pts = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 64, (2, 10, 4)).astype(np.int32))
+    cot = jnp.asarray(rng.randn(2, 10, 4, 16).astype(np.float32))
+    gm = np.asarray(jax.grad(
+        lambda p: jnp.vdot(group_point(p, idx, impl="mxu"), cot))(pts))
+    gx = np.asarray(jax.grad(
+        lambda p: jnp.vdot(group_point(p, idx, impl="xla"), cot))(pts))
+    np.testing.assert_allclose(gm, gx, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_point_mxu_exact_and_grad(rng):
+    from pointnet2_tpu.ops import gather_point
+
+    pts = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 50, (2, 20)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(gather_point(pts, idx, impl="mxu")),
+        np.asarray(gather_point(pts, idx, impl="xla")))
+    cot = jnp.asarray(rng.randn(2, 20, 3).astype(np.float32))
+    gm = np.asarray(jax.grad(
+        lambda p: jnp.vdot(gather_point(p, idx, impl="mxu"), cot))(pts))
+    gx = np.asarray(jax.grad(
+        lambda p: jnp.vdot(gather_point(p, idx, impl="xla"), cot))(pts))
+    np.testing.assert_allclose(gm, gx, rtol=1e-5, atol=1e-5)
