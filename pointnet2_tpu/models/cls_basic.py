@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from pointnet2_tpu.nn.layers import DenseBN, SharedMLP
+from pointnet2_tpu.ops import max_pool
 
 
 class PointNetClsBasic(nn.Module):
@@ -30,7 +31,7 @@ class PointNetClsBasic(nn.Module):
             net = net.astype(self.dtype)
         net = SharedMLP((64, 64, 64, 128, 1024), dtype=self.dtype,
                         name="point_mlp")(net, train, bn_momentum)
-        net = jnp.max(net, axis=1)  # symmetric function: global max-pool
+        net = max_pool(net, 1)  # symmetric function: global max-pool
         net = DenseBN(512, dtype=self.dtype, name="fc1")(net, train, bn_momentum)
         net = DenseBN(256, dtype=self.dtype, name="fc2")(net, train, bn_momentum)
         net = nn.Dropout(0.3, deterministic=not train)(net)  # keep_prob 0.7

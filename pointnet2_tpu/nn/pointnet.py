@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from pointnet2_tpu.nn.layers import SharedMLP
 from pointnet2_tpu.ops import (
+    max_pool,
     farthest_point_sample,
     gather_point,
     group_point,
@@ -91,7 +92,7 @@ def _pool(new_points, grouped_xyz, pooling: str):
     """Local-region pooling over the nsample axis
     (utils/pointnet_util.py:126-140). new_points: (B, np, ns, C)."""
     if pooling == "max":
-        return jnp.max(new_points, axis=2)
+        return max_pool(new_points, 2)
     if pooling == "avg":
         return jnp.mean(new_points, axis=2)
     if pooling == "weighted_avg":
@@ -101,7 +102,7 @@ def _pool(new_points, grouped_xyz, pooling: str):
         return jnp.sum(new_points * weights, axis=2)
     if pooling == "max_and_avg":
         return jnp.concatenate(
-            [jnp.mean(new_points, axis=2), jnp.max(new_points, axis=2)], axis=-1)
+            [jnp.mean(new_points, axis=2), max_pool(new_points, 2)], axis=-1)
     raise ValueError(f"unknown pooling {pooling!r}")
 
 
@@ -269,7 +270,7 @@ class SetAbstractionMSG(nn.Module):
                                              xyz_first=False, dtype=dt)
                     grouped = grouped - cw[:, :, None, :]
                 grouped = mlp_mod.finish_first(grouped, train, bn_momentum)
-                outs.append(jnp.max(grouped, axis=2))
+                outs.append(max_pool(grouped, 2))
             return new_xyz, jnp.concatenate(outs, axis=-1)
 
         center = new_xyz[:, :, None, :].astype(dt)
@@ -286,7 +287,7 @@ class SetAbstractionMSG(nn.Module):
             else:
                 grouped = grouped_xyz
             grouped = mlp_mod(grouped, train, bn_momentum)
-            outs.append(jnp.max(grouped, axis=2))
+            outs.append(max_pool(grouped, 2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

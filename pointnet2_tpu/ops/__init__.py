@@ -15,3 +15,4 @@ from pointnet2_tpu.ops.interpolate import (  # noqa: F401
     three_nn,
     three_interpolate,
 )
+from pointnet2_tpu.ops.pooling import max_pool  # noqa: F401
