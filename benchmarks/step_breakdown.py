@@ -91,9 +91,12 @@ def main():
         return spec.loss(logits, label), logits
 
     def vag(x):
+        # return the grads too: time_op_loop folds the FULL output, and a
+        # loss-only return lets XLA dead-code-eliminate the whole backward
+        # pass (the loss depends only on the forward)
         (l, _), g = jax.value_and_grad(loss_of, has_aux=True)(
             variables["params"], x)
-        return l
+        return l, g
 
     res["fwd_bwd"] = time_op_loop(vag, xyz, iters=30) * 1e3
 
@@ -112,7 +115,9 @@ def main():
     def full(x):
         s2, metrics = step(state, dict(batch, points=x),
                            jax.random.PRNGKey(7))
-        return metrics["loss"]
+        # fold the updated state as well: metrics alone would DCE the
+        # backward pass and optimizer update
+        return metrics["loss"], s2.params, s2.opt_state
 
     res["full_step"] = time_op_loop(full, xyz, iters=30) * 1e3
 
