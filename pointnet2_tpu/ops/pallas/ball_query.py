@@ -7,17 +7,25 @@ points sequentially. On TPU we tile queries into sublanes and dataset points
 into lanes: a (TM, N) squared-distance tile is computed with three
 broadcasted VPU ops (exact, no matmul rounding), and the order-dependent
 "first nsample hits in scan order" selection is realised rank-first: an
-inclusive cumulative sum of the hit mask along the lane axis (Hillis-Steele
-log-shifts — `cumsum` has no Mosaic lowering) assigns every hit its slot,
-then each slot k extracts its index with one masked sum (exactly one lane
-has rank k+1). Unlike a min-scan chain, the per-slot extractions have no
-sequential dependency, so the VPU pipelines them (~2-3x faster than the
-min-chain formulation at SA-layer shapes). The (TM, N) tile lives entirely
-in VMEM; the (B, M, N) distance matrix never reaches HBM (the XLA fallback
-materialises it and pays a top_k sort on top).
+inclusive cumulative sum of the hit mask along the lane axis assigns every
+hit its slot. The cumsum itself runs on the MXU: the 0/1 hit mask and a
+lower-triangular ones matrix are exactly representable in bfloat16, and the
+MXU accumulates in f32, so `mask @ tril` is an *exact* integer cumsum at
+bf16 matmul speed (chunked at 1024 lanes so the triangle stays in VMEM; a
+Hillis-Steele VPU fallback handles lane counts not divisible by the chunk).
+
+Slot extraction exploits that the rank vector is non-decreasing along the
+scan: the index of the (k+1)-th hit equals the *count* of lanes with
+rank <= k (every lane strictly before the (k+1)-th hit — hit or miss — has
+rank <= k, every lane from it on has rank >= k+1). Each of the `nsample`
+slots is therefore one compare + one lane-reduction, with no sequential
+dependency between slots, so the VPU pipelines them. The (TM, N) tile lives
+entirely in VMEM; the (B, M, N) distance matrix never reaches HBM (the XLA
+fallback materialises it and pays a top_k sort on top).
 
 `ball_query_group_xyz_pallas` additionally emits the *gathered* neighbor
-coordinates with three more masked sums per slot, which replaces the entire
+coordinates: slot k's hit lane is extracted with one packed masked
+reduction over a (3, TM, N) coordinate tile, which replaces the entire
 separate C=3 one-hot gather pass of sample_and_group
 (utils/pointnet_util.py:45 does FPS-gather + ball query + group as separate
 CUDA ops; here one fused kernel).
@@ -39,13 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 from pointnet2_tpu import config
 
 _LANE = 128
+_CUMSUM_CHUNK = 1024  # MXU cumsum triangle size (bf16: 2 MB VMEM)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _cumsum_lanes(x: jax.Array, col: jax.Array) -> jax.Array:
+def _cumsum_lanes_vpu(x: jax.Array, col: jax.Array) -> jax.Array:
     """Inclusive cumsum along the lane axis via log-step shifted adds."""
     n = x.shape[1]
     s = 1
@@ -56,13 +65,36 @@ def _cumsum_lanes(x: jax.Array, col: jax.Array) -> jax.Array:
     return x
 
 
+def _cumsum_lanes_mxu(mask: jax.Array) -> jax.Array:
+    """Exact inclusive cumsum of a 0/1 mask via bf16 MXU matmul.
+
+    0/1 operands are exact in bf16 and the MXU accumulates in f32, so the
+    result is the exact integer rank (as f32) for any N < 2^24.
+    """
+    TM, Np = mask.shape
+    ch = _CUMSUM_CHUNK if Np % _CUMSUM_CHUNK == 0 else Np
+    maskf = mask.astype(jnp.bfloat16)
+    li = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    tril = (li <= lj).astype(jnp.bfloat16)  # [j', j] = 1 iff j' <= j
+    parts = []
+    offset = jnp.zeros((TM, 1), jnp.float32)
+    for c in range(Np // ch):
+        rc = jnp.dot(maskf[:, c * ch:(c + 1) * ch], tril,
+                     preferred_element_type=jnp.float32) + offset
+        parts.append(rc)
+        offset = rc[:, -1:]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
 def _ball_query_kernel(q_ref, d_ref, *out_refs, r2: float, nsample: int,
                        n_real: int, with_xyz: bool):
     # q_ref: (1, TM, 3) queries; d_ref: (1, 3, Np) dataset (transposed)
     q = q_ref[0]  # (TM, 3)
-    x = d_ref[0, 0:1, :]  # (1, Np)
-    y = d_ref[0, 1:2, :]
-    z = d_ref[0, 2:3, :]
+    xyz = d_ref[0]  # (3, Np)
+    x = xyz[0:1, :]
+    y = xyz[1:2, :]
+    z = xyz[2:3, :]
     TM = q.shape[0]
     Np = x.shape[1]
 
@@ -71,24 +103,30 @@ def _ball_query_kernel(q_ref, d_ref, *out_refs, r2: float, nsample: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (TM, Np), 1)
     mask = (d2 < r2) & (col < n_real)
 
-    rank = _cumsum_lanes(mask.astype(jnp.int32), col)  # hit slot + 1
-    total = rank[:, -1:]  # (TM, 1) number of hits
-    r1 = jnp.where(mask, rank, 0)
+    if Np % _CUMSUM_CHUNK == 0 or Np <= _CUMSUM_CHUNK:
+        rank = _cumsum_lanes_mxu(mask)  # (TM, Np) f32, exact integers
+    else:
+        rank = _cumsum_lanes_vpu(mask.astype(jnp.int32), col).astype(
+            jnp.float32)
+    total = rank[:, -1:].astype(jnp.int32)  # (TM, 1) number of hits
 
-    # first hit (scan order) for padding; empty ball -> index 0
-    idx0 = jnp.min(jnp.where(mask, col, Np), axis=1, keepdims=True)
-    idx0 = jnp.where(total > 0, idx0, 0)
+    # index of the (k+1)-th hit == #lanes with rank <= k (rank is a
+    # non-decreasing step function of the lane; see module docstring)
+    def slot_count(k):
+        return jnp.sum((rank <= jnp.float32(k)).astype(jnp.int32), axis=1,
+                       keepdims=True)
+
+    idx0 = jnp.where(total > 0, slot_count(0), 0)  # pad: first hit, else 0
 
     if with_xyz:
-        sel0 = col == idx0
-        pads = [jnp.sum(jnp.where(sel0, c, 0.0), axis=1, keepdims=True)
-                for c in (x, y, z)]
+        # hit-only ranks: sel (r1 == k+1) isolates exactly the (k+1)-th hit
+        r1 = jnp.where(mask, rank, 0.0)
+        sel0 = col == idx0  # first hit (or point 0 for an empty ball)
+        pads = jnp.sum(jnp.where(sel0[None], xyz[:, None, :], 0.0), axis=2,
+                       keepdims=True)  # (3, TM, 1)
 
-    # Per-slot extraction: one masked sum per output (exactly one lane has
-    # rank k+1). Unrolled in chunks so slot extractions pipeline on the VPU
-    # (no cross-slot dependency) while the live set stays bounded (a full
-    # nsample unroll keeps every (TM, Np) selection mask alive at once and
-    # overflows VMEM at nsample=64).
+    # Per-slot extraction, unrolled in chunks so the (independent) slot
+    # reductions pipeline on the VPU while the live set stays bounded.
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (TM, nsample), 1)
     chunk = 8 if nsample % 8 == 0 else 1
 
@@ -96,17 +134,17 @@ def _ball_query_kernel(q_ref, d_ref, *out_refs, r2: float, nsample: int,
         accs = list(carry)
         for dk in range(chunk):
             k = k0 * chunk + dk
-            sel = r1 == (k + 1)
             has = total > k
             write = slot_col == k
-            idxk = jnp.sum(jnp.where(sel, col, 0), axis=1, keepdims=True)
+            idxk = slot_count(k)
             accs[0] = jnp.where(write, jnp.where(has, idxk, idx0), accs[0])
             if with_xyz:
-                for i, (coord, pad) in enumerate(zip((x, y, z), pads)):
-                    v = jnp.sum(jnp.where(sel, coord, 0.0), axis=1,
-                                keepdims=True)
-                    accs[1 + i] = jnp.where(write, jnp.where(has, v, pad),
-                                            accs[1 + i])
+                sel = r1 == jnp.float32(k + 1)
+                v = jnp.sum(jnp.where(sel[None], xyz[:, None, :], 0.0),
+                            axis=2, keepdims=True)  # (3, TM, 1)
+                for i in range(3):
+                    accs[1 + i] = jnp.where(
+                        write, jnp.where(has, v[i], pads[i]), accs[1 + i])
         return tuple(accs)
 
     n_out = 4 if with_xyz else 1
@@ -129,8 +167,10 @@ def _run(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Array,
     xyz2 = xyz2.astype(jnp.float32)
 
     Np = _round_up(N, _LANE)
-    # Budget the (TM, Np) f32 working tiles to stay comfortably in VMEM.
-    TM = max(8, min(M, (1 << 17) // Np))
+    # Budget the (TM, Np) f32 working tiles to stay comfortably in VMEM
+    # (the with_xyz variant keeps a packed (3, TM, Np) tile live).
+    budget = (1 << 17) if with_xyz else (1 << 18)
+    TM = max(8, min(M, budget // Np))
     TM = (TM // 8) * 8 if TM >= 8 else 8
     Mp = _round_up(M, TM)
 

@@ -180,3 +180,74 @@ def test_gather_point_mxu_exact_and_grad(rng):
     gx = np.asarray(jax.grad(
         lambda p: jnp.vdot(gather_point(p, idx, impl="xla"), cot))(pts))
     np.testing.assert_allclose(gm, gx, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "B,N,M,radius,nsample",
+    [
+        (1, 2048, 16, 0.15, 16),  # multi-chunk MXU cumsum (N % 1024 == 0)
+        (1, 1300, 16, 0.15, 16),  # Np=1408 > chunk, not divisible: VPU cumsum
+    ],
+)
+def test_ball_query_large_n_cumsum_paths(rng, B, N, M, radius, nsample):
+    """The two in-kernel cumsum strategies agree with the golden scan."""
+    xyz1 = rng.rand(B, N, 3).astype(np.float32)
+    qidx = rng.randint(0, N, (B, M))
+    xyz2 = np.stack([xyz1[b][qidx[b]] for b in range(B)])
+    idx, cnt = query_ball_point(radius, nsample, jnp.asarray(xyz1),
+                                jnp.asarray(xyz2), impl="pallas")
+    widx, wcnt = golden.ball_query_np(radius, nsample, xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(cnt), wcnt)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("B,N,M,radius,nsample",
+                         [(2, 128, 32, 0.4, 16), (3, 100, 17, 0.2, 8)])
+def test_query_ball_and_group_xyz_matches_unfused(rng, impl, B, N, M, radius,
+                                                  nsample):
+    from pointnet2_tpu.ops import query_ball_and_group_xyz
+
+    xyz1 = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+    idx, cnt, grouped = query_ball_and_group_xyz(radius, nsample, xyz1, xyz2,
+                                                 impl=impl)
+    widx, wcnt = query_ball_point(radius, nsample, xyz1, xyz2, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(wcnt))
+    np.testing.assert_array_equal(
+        np.asarray(grouped), np.asarray(group_point(xyz1, widx, impl="xla")))
+
+
+def test_query_ball_and_group_xyz_empty_ball_pads_point0(rng):
+    """Empty balls pad idx with 0 AND coords with point 0 (both impls)."""
+    from pointnet2_tpu.ops import query_ball_and_group_xyz
+
+    xyz1 = jnp.asarray([[[5.0, 6, 7], [8.0, 9, 10]]])
+    xyz2 = jnp.asarray([[[0.0, 0, 0]]])
+    for impl in ("xla", "pallas"):
+        idx, cnt, grouped = query_ball_and_group_xyz(0.1, 3, xyz1, xyz2,
+                                                     impl=impl)
+        np.testing.assert_array_equal(np.asarray(cnt), [[0]])
+        np.testing.assert_array_equal(np.asarray(idx), [[[0, 0, 0]]])
+        np.testing.assert_array_equal(
+            np.asarray(grouped), np.broadcast_to([5.0, 6, 7], (1, 1, 3, 3)))
+
+
+def test_query_ball_and_group_xyz_grad_is_scatter_add(rng):
+    from pointnet2_tpu.ops import query_ball_and_group_xyz
+
+    xyz1 = jnp.asarray(rng.rand(2, 48, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.rand(2, 9, 3).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 9, 5, 3).astype(np.float32))
+
+    def loss(impl):
+        def f(p):
+            _, _, grouped = query_ball_and_group_xyz(0.4, 5, p, xyz2,
+                                                     impl=impl)
+            return jnp.vdot(grouped, cot)
+        return f
+
+    gp = np.asarray(jax.grad(loss("pallas"))(xyz1))
+    gx = np.asarray(jax.grad(loss("xla"))(xyz1))
+    np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)

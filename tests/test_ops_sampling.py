@@ -76,3 +76,13 @@ def test_prob_sample_binary_search_bounds():
     s = np.asarray(prob_sample(w, r))
     # q = r*4; smallest index with cumsum >= q
     np.testing.assert_array_equal(s, [[0, 0, 0, 3]])
+
+
+@pytest.mark.parametrize("B,N,npoint", [(5, 200, 24), (1, 1300, 48)])
+def test_fps_batch_tile_edges(rng, B, N, npoint):
+    """Odd batch sizes / lane-padded N exercise the kernel's tile picking."""
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    got = np.asarray(farthest_point_sample(jnp.asarray(xyz), npoint,
+                                           impl="pallas"))
+    want = golden.fps_np(xyz, npoint)
+    np.testing.assert_array_equal(got, want)
