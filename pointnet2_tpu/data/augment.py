@@ -69,6 +69,15 @@ def _apply_rot(batch: np.ndarray, R: np.ndarray) -> np.ndarray:
     return out
 
 
+def shuffle_data(data: np.ndarray, labels: np.ndarray, rng):
+    """Shuffle examples and their labels in unison (provider.py:8-18).
+
+    Returns (shuffled_data, shuffled_labels, permutation)."""
+    rng = _as_rng(rng)
+    idx = rng.permutation(data.shape[0])
+    return data[idx, ...], labels[idx], idx
+
+
 def shuffle_points(batch: np.ndarray, rng) -> np.ndarray:
     """Shuffle point order (same permutation for the whole batch — changes
     FPS results, provider.py:20-30)."""
@@ -95,6 +104,28 @@ def rotate_point_cloud_by_angle(batch: np.ndarray, angle: float) -> np.ndarray:
     """Deterministic y-rotation by a fixed angle (vote ensembling)."""
     angles = np.full(batch.shape[0], angle)
     return _apply_rot(batch, _rot_y(angles))
+
+
+def rotate_point_cloud_with_normal(batch: np.ndarray, rng) -> np.ndarray:
+    """Random y-rotation of xyz *and* normals (provider.py:72-90).
+
+    All rotations here are 6-channel aware, so this is the same transform
+    as :func:`rotate_point_cloud` — kept under the reference's name."""
+    return rotate_point_cloud(batch, rng)
+
+
+def rotate_point_cloud_by_angle_with_normal(batch: np.ndarray,
+                                            angle: float) -> np.ndarray:
+    """Deterministic y-rotation incl. normals (provider.py:138-160)."""
+    return rotate_point_cloud_by_angle(batch, angle)
+
+
+def rotate_perturbation_point_cloud_with_normal(
+        batch: np.ndarray, rng, angle_sigma: float = 0.06,
+        angle_clip: float = 0.18) -> np.ndarray:
+    """Small 3-axis perturbation incl. normals (provider.py:92-117)."""
+    return rotate_perturbation_point_cloud(batch, rng, angle_sigma,
+                                           angle_clip)
 
 
 def rotate_perturbation_point_cloud(batch: np.ndarray, rng,
