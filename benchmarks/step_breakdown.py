@@ -9,6 +9,7 @@ Run: python benchmarks/step_breakdown.py
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
@@ -38,6 +39,12 @@ B, N = 32, 1024
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (bench.py headline is bfloat16)")
+    args = ap.parse_args()
+    dtype = jnp.dtype(args.dtype)
     rng = np.random.RandomState(0)
     xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     label = jnp.asarray(rng.randint(0, 40, (B,)).astype(np.int32))
@@ -71,7 +78,7 @@ def main():
 
     # --- model level ---
     spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
-    model = spec.cls()
+    model = spec.cls(dtype=dtype)
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         xyz)

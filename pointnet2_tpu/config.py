@@ -76,3 +76,37 @@ def default_impl(impl: str):
         yield
     finally:
         set_default_impl(prev)
+
+
+# --- fused SA-chain dispatch -------------------------------------------------
+#
+# The set-abstraction MLP chains (dense+BN+ReLU stacks + max-pool) can run as
+# fused Pallas kernels (ops/pallas/fused_mlp.py) instead of discrete XLA ops.
+#
+# Default: OFF. Measured on TPU v5e (see the fused_mlp module docstring),
+# Pallas pipelines cap at ~400-450 GB/s HBM throughput on this platform —
+# even a bare copy kernel — while XLA's own fusions for the same chain run
+# ~2x faster. The kernels are kept as a tested option for hardware/toolchain
+# combinations where that balance differs.
+
+_FUSED_MLP = False
+
+
+def fused_mlp_enabled() -> bool:
+    return _FUSED_MLP
+
+
+def set_fused_mlp(enabled: bool) -> None:
+    global _FUSED_MLP
+    _FUSED_MLP = bool(enabled)
+
+
+@contextlib.contextmanager
+def fused_mlp(enabled: bool):
+    """Context manager to temporarily toggle the fused SA-chain kernels."""
+    prev = _FUSED_MLP
+    set_fused_mlp(enabled)
+    try:
+        yield
+    finally:
+        set_fused_mlp(prev)

@@ -83,6 +83,18 @@ class BatchNorm(nn.Module):
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)
 
+    def update_stats(self, mean, var, momentum):
+        """Running-average update from externally computed batch statistics
+        (the fused SA chain computes stats inside its Pallas kernels —
+        ops/pallas/fused_mlp.py — and writes them back through here)."""
+        if not self.is_mutable_collection("batch_stats"):
+            return
+        m = jnp.asarray(momentum, jnp.float32)
+        cur_mean = self.get_variable("batch_stats", "mean")
+        cur_var = self.get_variable("batch_stats", "var")
+        self.put_variable("batch_stats", "mean", cur_mean * m + mean * (1.0 - m))
+        self.put_variable("batch_stats", "var", cur_var * m + var * (1.0 - m))
+
 
 class ConvBN(nn.Module):
     """Dense (== 1x1 conv) + optional BN + activation over the channel axis.
@@ -165,6 +177,63 @@ class SharedMLP(nn.Module):
         for block in self.blocks[1:]:
             x = block(x, train, bn_momentum)
         return x
+
+    def fused_tail_supported(self, x, pool: bool) -> bool:
+        """Whether `fused_tail` can run this chain (see ops/pallas/fused_mlp).
+
+        Requires BN on, >=2 layers (the chain needs at least one dense after
+        the lifted layer 0), an initialized module, the config gate, and
+        kernel-eligible shapes/dtype. All blocks built by SharedMLP use the
+        default ReLU activation, which the kernels assume."""
+        from pointnet2_tpu import config
+        from pointnet2_tpu.ops.pallas import fused_mlp
+
+        return (self.bn
+                and not self.is_initializing()
+                and config.fused_mlp_enabled()
+                and len(self.features) >= 2
+                and pool
+                and fused_mlp.fused_chain_eligible(
+                    x.shape, x.dtype, len(self.features) - 1))
+
+    def fused_tail(self, x, train: bool = False,
+                   bn_momentum: jax.Array | float = 0.9, pool: bool = True):
+        """Fused-kernel equivalent of ``finish_first`` + max-pool(axis=-2).
+
+        ``x`` is the pre-BN_0 tensor (B, M, S, mlp[0]) — the lifted first
+        dense's gathered output. Runs the whole BN_0 -> (dense_k + BN_k)_k
+        -> max-pool chain as Pallas kernels (ops/pallas/fused_mlp.py): BN
+        statistics accumulate inside the matmul passes and the widest
+        activation never round-trips HBM. Semantics match the unfused path
+        (same stats, same scheduled-momentum running update, same
+        first-occurrence pool-gradient routing) up to float reassociation.
+        """
+        from pointnet2_tpu.ops.pallas import fused_mlp
+
+        denses, scales, biases, running = [], [], [], []
+        for i, block in enumerate(self.blocks):
+            v = block.variables
+            norm_p = v["params"]["norm"]
+            scales.append(norm_p["scale"])
+            biases.append(norm_p["bias"])
+            norm_s = v["batch_stats"]["norm"]
+            running.append((norm_s["mean"], norm_s["var"]))
+            if i > 0:
+                dense_p = v["params"]["dense"]
+                denses.append((dense_p["kernel"], dense_p["bias"]))
+        cfg = fused_mlp.ChainConfig(
+            eps=self.blocks[0].norm.epsilon,
+            axis_name=_BN_AXIS[-1] if train else None,
+            pool=pool)
+        if train:
+            out, stats = fused_mlp.fused_chain_train(
+                cfg, x, tuple(denses), tuple(scales), tuple(biases))
+            for block, (mean, var) in zip(self.blocks, stats):
+                block.norm.update_stats(mean, var, bn_momentum)
+            return out
+        return fused_mlp.fused_chain_eval(
+            cfg, x, tuple(denses), tuple(scales), tuple(biases),
+            tuple(running))
 
     def __call__(self, x, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):

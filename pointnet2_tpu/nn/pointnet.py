@@ -189,17 +189,24 @@ class SetAbstraction(nn.Module):
             cw = _lifted_center_term(self.mlp_mod, new_xyz, feat_width,
                                      xyz_first=True, dtype=dt)
             grouped = grouped - cw[:, :, None, :]
+        if (self.pooling == "max"
+                and self.mlp_mod.fused_tail_supported(grouped, pool=True)):
+            # single fused Pallas chain: BN+ReLU+dense stack + max-pool,
+            # with the widest activation never leaving VMEM
+            pooled = self.mlp_mod.fused_tail(grouped, train, bn_momentum)
+            return new_xyz, pooled, idx, True
         new_points = self.mlp_mod.finish_first(grouped, train, bn_momentum)
-        return new_xyz, new_points, idx
+        return new_xyz, new_points, idx, False
 
     def __call__(self, xyz, points, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
         fused = (self.fuse_first and not self.group_all
                  and self.pooling != "weighted_avg")
         if fused:
-            new_xyz, new_points, idx = self._fused_forward(
+            new_xyz, new_points, idx, pooled = self._fused_forward(
                 xyz, points, train, bn_momentum)
-            new_points = _pool(new_points, None, self.pooling)
+            if not pooled:
+                new_points = _pool(new_points, None, self.pooling)
         else:
             if self.group_all:
                 new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
@@ -269,8 +276,13 @@ class SetAbstractionMSG(nn.Module):
                     cw = _lifted_center_term(mlp_mod, new_xyz, feat_width,
                                              xyz_first=False, dtype=dt)
                     grouped = grouped - cw[:, :, None, :]
-                grouped = mlp_mod.finish_first(grouped, train, bn_momentum)
-                outs.append(max_pool(grouped, 2))
+                if mlp_mod.fused_tail_supported(grouped, pool=True):
+                    outs.append(mlp_mod.fused_tail(grouped, train,
+                                                   bn_momentum))
+                else:
+                    grouped = mlp_mod.finish_first(grouped, train,
+                                                   bn_momentum)
+                    outs.append(max_pool(grouped, 2))
             return new_xyz, jnp.concatenate(outs, axis=-1)
 
         center = new_xyz[:, :, None, :].astype(dt)
