@@ -47,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 from pointnet2_tpu import config
 
 _LANE = 128
-_CUMSUM_CHUNK = 1024  # MXU cumsum triangle size (bf16: 2 MB VMEM)
+# MXU cumsum triangle size. The matmul cost is TM*Np*CHUNK, so smaller
+# chunks are cheaper (the serial offset chain between chunks is negligible);
+# 256 balances MXU efficiency against chain length.
+_CUMSUM_CHUNK = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,6 +115,8 @@ def _ball_query_kernel(q_ref, d_ref, *out_refs, r2: float, nsample: int,
 
     # index of the (k+1)-th hit == #lanes with rank <= k (rank is a
     # non-decreasing step function of the lane; see module docstring)
+    # (bf16 compares would halve the VPU cost here, but Mosaic on this
+    # target rejects bf16 cmpf — keep f32)
     def slot_count(k):
         return jnp.sum((rank <= jnp.float32(k)).astype(jnp.int32), axis=1,
                        keepdims=True)
