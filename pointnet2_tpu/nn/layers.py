@@ -95,6 +95,35 @@ class BatchNorm(nn.Module):
         self.put_variable("batch_stats", "mean", cur_mean * m + mean * (1.0 - m))
         self.put_variable("batch_stats", "var", cur_var * m + var * (1.0 - m))
 
+    def affine_coeffs(self, x, train: bool, momentum):
+        """The BN transform as per-channel affine coefficients (a, b) f32,
+        with BN(x) == x*a + b up to float reassociation.
+
+        Computes (and in train mode updates) statistics exactly like
+        __call__, but returns the coefficients instead of normalizing —
+        so a consumer can commute a monotone reduction (max-pool) in front
+        of the affine and skip the full-tensor normalize pass entirely
+        (ConvBN.post_pooled_max). Requires an initialized module: __call__
+        declares the variables."""
+        scale = self.get_variable("params", "scale")
+        bias = self.get_variable("params", "bias")
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            meansq = jnp.mean(jnp.square(xf), axis=axes)
+            axis_name = _BN_AXIS[-1]
+            if axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+                meansq = jax.lax.pmean(meansq, axis_name)
+            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+            self.update_stats(mean, var, momentum)
+        else:
+            mean = self.get_variable("batch_stats", "mean")
+            var = self.get_variable("batch_stats", "var")
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        return a, bias - mean * a
+
 
 class ConvBN(nn.Module):
     """Dense (== 1x1 conv) + optional BN + activation over the channel axis.
@@ -129,6 +158,31 @@ class ConvBN(nn.Module):
         if self.activation is not None:
             x = self.activation(x)
         return x
+
+    def post_pooled_max(self, y, train: bool = False,
+                        bn_momentum: jax.Array | float = 0.9, axis: int = -2):
+        """``max_pool(post(y), axis)`` with the pool commuted before the BN.
+
+        BN is a per-channel affine y*a + b and ReLU is monotone, so
+        ``max relu(y*a+b) == relu(max_or_min(y)*a + b)`` exactly — max
+        where a > 0, min where a < 0 (either for a == 0). The widest
+        activation therefore skips the normalize+ReLU pass: only the dense
+        output and two fused reductions touch it, and the affine runs on
+        the pooled tensor. Gradient routing is identical to the unfused
+        path: max/min route first-occurrence through ops.max_pool, and the
+        monotone affine preserves arg-extremum positions (ReLU-clamped
+        windows get zero gradient either way).
+
+        Requires bn=True and ReLU activation; used for the ``max`` pooling
+        mode of the SA stacks (utils/pointnet_util.py:126-127)."""
+        from pointnet2_tpu.ops.pooling import max_pool
+
+        assert self.bn and self.activation is nn.relu
+        a, b = self.norm.affine_coeffs(y, train, bn_momentum)
+        hi = max_pool(y, axis)
+        lo = -max_pool(-y, axis)
+        sel = jnp.where(a > 0, hi.astype(jnp.float32), lo.astype(jnp.float32))
+        return jax.nn.relu(sel * a + b).astype(self.dtype or y.dtype)
 
     def __call__(self, x, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
@@ -177,6 +231,33 @@ class SharedMLP(nn.Module):
         for block in self.blocks[1:]:
             x = block(x, train, bn_momentum)
         return x
+
+    def pooled_max_supported(self) -> bool:
+        """Whether the pool-before-affine tail applies (BN + ReLU chain)."""
+        return self.bn and not self.is_initializing()
+
+    def finish_first_pooled(self, x, train: bool = False,
+                            bn_momentum: jax.Array | float = 0.9,
+                            axis: int = -2):
+        """``max_pool(finish_first(x), axis)`` with the last layer's
+        BN+ReLU commuted after the pool (ConvBN.post_pooled_max)."""
+        if len(self.blocks) == 1:
+            # single layer: x is already that layer's pre-BN dense output
+            return self.blocks[0].post_pooled_max(x, train, bn_momentum,
+                                                  axis)
+        x = self.blocks[0].post(x, train, bn_momentum)
+        for block in self.blocks[1:-1]:
+            x = block(x, train, bn_momentum)
+        last = self.blocks[-1]
+        return last.post_pooled_max(last.dense(x), train, bn_momentum, axis)
+
+    def call_pooled(self, x, train: bool = False,
+                    bn_momentum: jax.Array | float = 0.9, axis: int = -2):
+        """``max_pool(self(x), axis)`` with the pool-before-affine tail."""
+        for block in self.blocks[:-1]:
+            x = block(x, train, bn_momentum)
+        last = self.blocks[-1]
+        return last.post_pooled_max(last.dense(x), train, bn_momentum, axis)
 
     def fused_tail_supported(self, x, pool: bool) -> bool:
         """Whether `fused_tail` can run this chain (see ops/pallas/fused_mlp).

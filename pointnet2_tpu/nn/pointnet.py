@@ -195,6 +195,12 @@ class SetAbstraction(nn.Module):
             # with the widest activation never leaving VMEM
             pooled = self.mlp_mod.fused_tail(grouped, train, bn_momentum)
             return new_xyz, pooled, idx, True
+        if self.pooling == "max" and self.mlp_mod.pooled_max_supported():
+            # pool commuted before the last BN affine: the widest tensor
+            # skips its normalize+ReLU pass (ConvBN.post_pooled_max)
+            pooled = self.mlp_mod.finish_first_pooled(grouped, train,
+                                                      bn_momentum, axis=2)
+            return new_xyz, pooled, idx, True
         new_points = self.mlp_mod.finish_first(grouped, train, bn_momentum)
         return new_xyz, new_points, idx, False
 
@@ -217,8 +223,12 @@ class SetAbstraction(nn.Module):
                     self.knn, self.use_xyz, dtype=self.dtype)
             if self.dtype is not None:
                 new_points = new_points.astype(self.dtype)
-            new_points = self.mlp_mod(new_points, train, bn_momentum)
-            new_points = _pool(new_points, grouped_xyz, self.pooling)
+            if self.pooling == "max" and self.mlp_mod.pooled_max_supported():
+                new_points = self.mlp_mod.call_pooled(new_points, train,
+                                                      bn_momentum, axis=2)
+            else:
+                new_points = self.mlp_mod(new_points, train, bn_momentum)
+                new_points = _pool(new_points, grouped_xyz, self.pooling)
         if self.mlp2:
             new_points = self.mlp2_mod(new_points, train, bn_momentum)
         return new_xyz, new_points, idx
@@ -279,6 +289,9 @@ class SetAbstractionMSG(nn.Module):
                 if mlp_mod.fused_tail_supported(grouped, pool=True):
                     outs.append(mlp_mod.fused_tail(grouped, train,
                                                    bn_momentum))
+                elif mlp_mod.pooled_max_supported():
+                    outs.append(mlp_mod.finish_first_pooled(
+                        grouped, train, bn_momentum, axis=2))
                 else:
                     grouped = mlp_mod.finish_first(grouped, train,
                                                    bn_momentum)
@@ -298,8 +311,12 @@ class SetAbstractionMSG(nn.Module):
                     grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
-            grouped = mlp_mod(grouped, train, bn_momentum)
-            outs.append(max_pool(grouped, 2))
+            if mlp_mod.pooled_max_supported():
+                outs.append(mlp_mod.call_pooled(grouped, train, bn_momentum,
+                                                axis=2))
+            else:
+                grouped = mlp_mod(grouped, train, bn_momentum)
+                outs.append(max_pool(grouped, 2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
