@@ -51,13 +51,18 @@ def _rot_xyz(angles: jax.Array) -> jax.Array:
     Rz = jnp.stack([jnp.stack([cz, -sz, z], -1),
                     jnp.stack([sz, cz, z], -1),
                     jnp.stack([z, z, o], -1)], axis=-2)
-    return Rz @ (Ry @ Rx)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(Rz, jnp.matmul(Ry, Rx, precision=hi), precision=hi)
 
 
 def _apply_rot(batch: jax.Array, R: jax.Array) -> jax.Array:
-    xyz = jnp.einsum("bnc,bcd->bnd", batch[..., 0:3], R)
+    # HIGHEST precision: TPU default-precision f32 matmuls run bf16 passes,
+    # which makes the rotation visibly non-isometric (~4e-3 relative norm
+    # drift); the (N,3)x(3,3) contraction is tiny, so exactness is free
+    hi = jax.lax.Precision.HIGHEST
+    xyz = jnp.einsum("bnc,bcd->bnd", batch[..., 0:3], R, precision=hi)
     if batch.shape[-1] >= 6:
-        nrm = jnp.einsum("bnc,bcd->bnd", batch[..., 3:6], R)
+        nrm = jnp.einsum("bnc,bcd->bnd", batch[..., 3:6], R, precision=hi)
         return jnp.concatenate([xyz, nrm, batch[..., 6:]], axis=-1)
     return jnp.concatenate([xyz, batch[..., 3:]], axis=-1)
 

@@ -110,3 +110,33 @@ def scenes_to_pickle_lists(npy_folder: str, scene_names: list[str]):
         pts_list.append(data[:, 0:3].astype(np.float32))
         lbl_list.append(data[:, 7].astype(np.int32))
     return pts_list, lbl_list
+
+
+def collect_label_names(scannet_dir: str, scene_names: list[str]) -> list[str]:
+    """Scan every scene's aggregation json for the complete set of raw
+    category labels (scannet/preprocessing/fetch_label_names.py)."""
+    labels = set()
+    for scene_name in scene_names:
+        path = os.path.join(scannet_dir, scene_name,
+                            scene_name + ".aggregation.json")
+        with open(path) as f:
+            for group in json.load(f)["segGroups"]:
+                labels.add(group["label"])
+    return sorted(labels)
+
+
+def export_demo_objs(scene_npy: str, output_folder: str) -> None:
+    """Dump a preprocessed scene as colored point files for inspection:
+    raw RGB + instance-colored + semantic-colored
+    (scannet/preprocessing/demo.py)."""
+    from pointnet2_tpu.utils.pc_util import write_ply_color, write_ply_rgb
+
+    data = np.load(scene_npy)
+    os.makedirs(output_folder, exist_ok=True)
+    pts = data[:, 0:3]
+    write_ply_rgb(pts, data[:, 3:6],
+                  os.path.join(output_folder, "scene.ply"))
+    write_ply_color(pts, data[:, 6].astype(int),
+                    os.path.join(output_folder, "scene_instance.ply"))
+    write_ply_color(pts, data[:, 7].astype(int),
+                    os.path.join(output_folder, "scene_semantic.ply"))

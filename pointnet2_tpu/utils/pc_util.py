@@ -208,6 +208,35 @@ def write_ply_color(points, labels, filename, num_classes=None):
             f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
 
 
+def write_ply_rgb(points, colors, filename):
+    """Per-point RGB PLY (scannet/pc_util.py:371, used by the ScanNet
+    preprocessing demo to dump colored scenes)."""
+    colors = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+    with open(filename, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(points)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                "end_header\n")
+        for p, c in zip(points, colors):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+
+
+def read_ply_xyz(filename):
+    """Alias for read_ply (scannet/pc_util.py:212 capability)."""
+    return read_ply(filename)
+
+
+def read_ply_xyzrgb(filename):
+    """Read xyz + rgb from a PLY file -> (N, 6)
+    (scannet/pc_util.py:224; also data/scannet_preprocessing.py)."""
+    from pointnet2_tpu.data.scannet_preprocessing import (
+        read_ply_xyzrgb as _impl,
+    )
+
+    return _impl(filename)
+
+
 # ----------------------------------------------------------------------
 # Renderers
 # ----------------------------------------------------------------------
@@ -278,3 +307,46 @@ def point_cloud_three_views(points):
                             xrot=135 / 180.0 * np.pi)
     img3 = draw_point_cloud(points, zrot=np.pi, xrot=90 / 180.0 * np.pi)
     return np.concatenate([img1, img2, img3], axis=1)
+
+
+def point_cloud_three_views_demo(ply_path, out_path="point_cloud_demo.jpg"):
+    """Render a PLY to a three-view image file
+    (utils/pc_util.py:269 capability; PNG/JPG via matplotlib if present,
+    else raw .npy)."""
+    img = point_cloud_three_views(read_ply(ply_path))
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(out_path, img, cmap="gray")
+    except ImportError:
+        np.save(out_path + ".npy", img)
+    return out_path
+
+
+# ----------------------------------------------------------------------
+# Matplotlib wrappers (utils/pc_util.py:281-298) — optional dependency
+# ----------------------------------------------------------------------
+
+def pyplot_draw_point_cloud(points, output_filename):
+    """3D scatter of (N,3) points to an image file (matplotlib required)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=2)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    fig.savefig(output_filename)
+    plt.close(fig)
+
+
+def pyplot_draw_volume(vol, output_filename):
+    """Occupancy volume -> 3D scatter image (utils/pc_util.py:292)."""
+    pyplot_draw_point_cloud(volume_to_point_cloud(vol), output_filename)

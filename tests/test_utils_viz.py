@@ -79,3 +79,52 @@ def test_step_timer():
     for _ in range(3):
         t.tick()
     assert t.steps_per_sec() > 0
+
+
+def test_write_ply_rgb_and_read_xyz(tmp_path, rng):
+    from pointnet2_tpu.utils.pc_util import (read_ply_xyz, write_ply,
+                                             write_ply_rgb)
+
+    pts = rng.rand(20, 3).astype(np.float32)
+    colors = (rng.rand(20, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / "rgb.ply")
+    write_ply_rgb(pts, colors, path)
+    txt = open(path).read()
+    assert "property uchar red" in txt and txt.count("\n") >= 20
+
+    path2 = str(tmp_path / "xyz.ply")
+    write_ply(pts, path2)
+    back = read_ply_xyz(path2)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_scannet_preprocessing_demo_and_labels(tmp_path, rng):
+    import json
+
+    from pointnet2_tpu.data.scannet_preprocessing import (
+        collect_label_names, export_demo_objs)
+
+    # fake one preprocessed scene: (N, 8) [xyz rgb instance semantic]
+    n = 30
+    data = np.concatenate([
+        rng.rand(n, 3), rng.rand(n, 3) * 255,
+        rng.randint(0, 4, (n, 1)), rng.randint(0, 21, (n, 1))], axis=1)
+    npy = str(tmp_path / "scene0000_00.npy")
+    np.save(npy, data)
+    out = str(tmp_path / "demo")
+    export_demo_objs(npy, out)
+    import os
+    assert sorted(os.listdir(out)) == [
+        "scene.ply", "scene_instance.ply", "scene_semantic.ply"]
+
+    # fake aggregation jsons for the label-name sweep
+    scenes = []
+    for i, labels in enumerate([["chair", "table"], ["table", "sofa"]]):
+        name = f"scene{i:04d}_00"
+        d = tmp_path / name
+        d.mkdir()
+        (d / f"{name}.aggregation.json").write_text(json.dumps(
+            {"segGroups": [{"label": lb} for lb in labels]}))
+        scenes.append(name)
+    assert collect_label_names(str(tmp_path), scenes) == [
+        "chair", "sofa", "table"]
