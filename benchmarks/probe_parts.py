@@ -80,12 +80,8 @@ def main():
         "sa1_l3": (jnp.zeros((B * 512 * 32, 64), dt), jnp.zeros((64, 128), dt)),
         "sa2_l2": (jnp.zeros((B * 128 * 64, 128), dt), jnp.zeros((128, 128), dt)),
         "sa2_l3": (jnp.zeros((B * 128 * 64, 128), dt), jnp.zeros((128, 256), dt)),
-        "sa3_chain": None,
     }
-    for k, v in list(w.items()):
-        if v is None:
-            continue
-        a, b = v
+    for k, (a, b) in list(w.items()):
         a = jnp.asarray(rng.rand(*a.shape).astype(np.float32)).astype(dt)
         bb = jnp.asarray(rng.rand(*b.shape).astype(np.float32)).astype(dt)
         res[f"mm_{k}"] = time_op_loop(

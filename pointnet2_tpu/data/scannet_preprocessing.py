@@ -125,10 +125,11 @@ def collect_label_names(scannet_dir: str, scene_names: list[str]) -> list[str]:
     return sorted(labels)
 
 
-def export_demo_objs(scene_npy: str, output_folder: str) -> None:
-    """Dump a preprocessed scene as colored point files for inspection:
-    raw RGB + instance-colored + semantic-colored
-    (scannet/preprocessing/demo.py)."""
+def export_demo_scene(scene_npy: str, output_folder: str) -> None:
+    """Dump a preprocessed scene as colored PLY point files for inspection:
+    raw RGB + instance-colored + semantic-colored. Mirrors
+    scannet/preprocessing/demo.py (which writes PLY-format content into
+    .obj-named files; here the files are honest .ply)."""
     from pointnet2_tpu.utils.pc_util import write_ply_color, write_ply_rgb
 
     data = np.load(scene_npy)

@@ -29,9 +29,16 @@ class PointNetClsBasic(nn.Module):
         net = point_cloud
         if self.dtype is not None:
             net = net.astype(self.dtype)
-        net = SharedMLP((64, 64, 64, 128, 1024), dtype=self.dtype,
-                        name="point_mlp")(net, train, bn_momentum)
-        net = max_pool(net, 1)  # symmetric function: global max-pool
+        point_mlp = SharedMLP((64, 64, 64, 128, 1024), dtype=self.dtype,
+                              name="point_mlp")
+        if point_mlp.pooled_max_supported():
+            # symmetric function: global max-pool, commuted before the
+            # last BN affine (ConvBN.post_pooled_max) so the (B, N, 1024)
+            # tensor skips its normalize pass
+            net = point_mlp.call_pooled(net, train, bn_momentum, axis=1)
+        else:
+            net = point_mlp(net, train, bn_momentum)
+            net = max_pool(net, 1)
         net = DenseBN(512, dtype=self.dtype, name="fc1")(net, train, bn_momentum)
         net = DenseBN(256, dtype=self.dtype, name="fc2")(net, train, bn_momentum)
         net = nn.Dropout(0.3, deterministic=not train)(net)  # keep_prob 0.7

@@ -113,11 +113,12 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=axes)
             meansq = jnp.mean(jnp.square(xf), axis=axes)
             axis_name = _BN_AXIS[-1]
-            if axis_name is not None:
+            if axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, axis_name)
                 meansq = jax.lax.pmean(meansq, axis_name)
             var = jnp.maximum(meansq - jnp.square(mean), 0.0)
-            self.update_stats(mean, var, momentum)
+            if not self.is_initializing():  # as __call__: no init update
+                self.update_stats(mean, var, momentum)
         else:
             mean = self.get_variable("batch_stats", "mean")
             var = self.get_variable("batch_stats", "var")

@@ -114,13 +114,10 @@ class ChainConfig(NamedTuple):
 
 
 def _dense_fwd_kernel(x_ref, ab_ref, w_ref, bias_ref, y_ref, s_ref, ss_ref,
-                      *, leading_affine: bool, want_stats: bool):
+                      *, want_stats: bool):
     """y = relu(x * a + b) @ W + bias; accumulate sum / sumsq of y."""
     x = x_ref[...].astype(jnp.float32)
-    if leading_affine:
-        z = jnp.maximum(x * ab_ref[0][None, :] + ab_ref[1][None, :], 0.0)
-    else:
-        z = x
+    z = jnp.maximum(x * ab_ref[0][None, :] + ab_ref[1][None, :], 0.0)
     z = z.astype(w_ref.dtype)
     acc = jax.lax.dot_general(
         z, w_ref[...], (((1,), (0,)), ((), ())),
@@ -140,17 +137,18 @@ def _dense_fwd_kernel(x_ref, ab_ref, w_ref, bias_ref, y_ref, s_ref, ss_ref,
         ss_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
-def _dense_fwd(x2d, a, b, w, bias, *, leading_affine: bool,
-               want_stats: bool):
-    """x2d (R, Cin) -> y (R, Cout), sum (1, Cout) f32, sumsq (1, Cout) f32."""
+def _dense_fwd(x2d, a, b, w, bias, *, want_stats: bool):
+    """x2d (R, Cin) -> y (R, Cout), sum (1, Cout) f32, sumsq (1, Cout) f32.
+
+    The chain always has a leading BN affine (the SA modules lift the first
+    dense through the gather), so the kernel applies relu(x*a + b) before
+    the matmul unconditionally."""
     R, Cin = x2d.shape
     Cout = w.shape[1]
     TR = _row_tile(R, Cin, Cout, x2d.dtype.itemsize)
-    ab = jnp.stack([a, b]) if leading_affine else jnp.zeros((2, Cin),
-                                                            jnp.float32)
+    ab = jnp.stack([a, b])
     y, s, ss = pl.pallas_call(
-        partial(_dense_fwd_kernel, leading_affine=leading_affine,
-                want_stats=want_stats),
+        partial(_dense_fwd_kernel, want_stats=want_stats),
         grid=(R // TR,),
         in_specs=[
             pl.BlockSpec((TR, Cin), lambda i: (i, 0),
@@ -523,8 +521,7 @@ def _chain_fwd_impl(cfg: ChainConfig, x, denses, scales, biases):
     a = scales[0] * jax.lax.rsqrt(var + cfg.eps)
     b = biases[0] - mean * a
     for k, (w, bias) in enumerate(denses):
-        y, s, ss = _dense_fwd(cur, a, b, w, bias, leading_affine=True,
-                              want_stats=True)
+        y, s, ss = _dense_fwd(cur, a, b, w, bias, want_stats=True)
         mean = _sync(s[0] / n, cfg.axis_name)
         meansq = _sync(ss[0] / n, cfg.axis_name)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
@@ -637,8 +634,7 @@ def fused_chain_eval(cfg: ChainConfig, x, denses, scales, biases, running):
     a = scales[0] * jax.lax.rsqrt(var + cfg.eps)
     b = biases[0] - mean * a
     for k, (w, bias) in enumerate(denses):
-        cur, _, _ = _dense_fwd(cur, a, b, w, bias, leading_affine=True,
-                               want_stats=False)
+        cur, _, _ = _dense_fwd(cur, a, b, w, bias, want_stats=False)
         mean, var = running[k + 1]
         a = scales[k + 1] * jax.lax.rsqrt(var + cfg.eps)
         b = biases[k + 1] - mean * a

@@ -322,7 +322,8 @@ def point_cloud_three_views_demo(ply_path, out_path="point_cloud_demo.jpg"):
 
         plt.imsave(out_path, img, cmap="gray")
     except ImportError:
-        np.save(out_path + ".npy", img)
+        out_path = out_path + ".npy"
+        np.save(out_path, img)
     return out_path
 
 

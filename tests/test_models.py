@@ -181,11 +181,10 @@ def test_sa_fused_first_layer_matches_unfused(rng, use_points, use_xyz):
     _, got, gidx = fused.apply(v, xyz, pts, train=False)
     _, want, widx = plain.apply(v, xyz, pts, train=False)
     np.testing.assert_array_equal(np.asarray(gidx), np.asarray(widx))
-    # on TPU the plain path's f32 dense runs at default matmul precision
-    # (bf16 passes) while lift_first runs HIGHEST -> ~1e-2-class noise
-    # TPU default-precision matmuls add ~1e-2-class noise and can flip the
-    # max-pool argmax between near-tied slots, so the atol must cover a
-    # small absolute discrepancy on near-zero outputs as well
+    # on TPU the plain path's f32 denses run at default matmul precision
+    # (bf16 passes) while lift_first runs HIGHEST — ~1e-2-class noise that
+    # can also flip the max-pool argmax between near-tied slots, so the
+    # atol must cover small absolute discrepancies on near-zero outputs
     tol = 2e-2 if jax.default_backend() == "tpu" else 1e-4
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=tol, atol=tol * 0.3)

@@ -102,7 +102,7 @@ def test_scannet_preprocessing_demo_and_labels(tmp_path, rng):
     import json
 
     from pointnet2_tpu.data.scannet_preprocessing import (
-        collect_label_names, export_demo_objs)
+        collect_label_names, export_demo_scene)
 
     # fake one preprocessed scene: (N, 8) [xyz rgb instance semantic]
     n = 30
@@ -112,7 +112,7 @@ def test_scannet_preprocessing_demo_and_labels(tmp_path, rng):
     npy = str(tmp_path / "scene0000_00.npy")
     np.save(npy, data)
     out = str(tmp_path / "demo")
-    export_demo_objs(npy, out)
+    export_demo_scene(npy, out)
     import os
     assert sorted(os.listdir(out)) == [
         "scene.ply", "scene_instance.ply", "scene_semantic.ply"]
