@@ -110,3 +110,32 @@ def fused_mlp(enabled: bool):
         yield
     finally:
         set_fused_mlp(prev)
+
+
+# --- pool-before-affine max-pooling ------------------------------------------
+#
+# max_S relu(y*a+b) == relu(extremum_S(y)*a+b) exactly (per-channel monotone
+# affine), so the SA stacks pool the pre-BN dense output and skip the widest
+# tensor's normalize pass (ConvBN.post_pooled_max). On by default; the gate
+# exists for A/B comparisons.
+
+_POOLED_MAX = True
+
+
+def pooled_max_enabled() -> bool:
+    return _POOLED_MAX
+
+
+def set_pooled_max(enabled: bool) -> None:
+    global _POOLED_MAX
+    _POOLED_MAX = bool(enabled)
+
+
+@contextlib.contextmanager
+def pooled_max(enabled: bool):
+    prev = _POOLED_MAX
+    set_pooled_max(enabled)
+    try:
+        yield
+    finally:
+        set_pooled_max(prev)

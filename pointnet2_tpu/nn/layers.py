@@ -235,7 +235,10 @@ class SharedMLP(nn.Module):
 
     def pooled_max_supported(self) -> bool:
         """Whether the pool-before-affine tail applies (BN + ReLU chain)."""
-        return self.bn and not self.is_initializing()
+        from pointnet2_tpu import config
+
+        return (self.bn and not self.is_initializing()
+                and config.pooled_max_enabled())
 
     def finish_first_pooled(self, x, train: bool = False,
                             bn_momentum: jax.Array | float = 0.9,

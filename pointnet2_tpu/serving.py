@@ -1,0 +1,208 @@
+"""Deployment-oriented inference: compiled, bucketed, device-resident.
+
+The reference has no serving story — inference means rebuilding the
+training graph and sess.run'ing it per script (evaluate.py:67-141,
+part_seg/test.py). This module packages a trained model as a production
+endpoint, TPU-first:
+
+- parameters and batch statistics live on device (optionally replicated
+  over a 1-D ``data`` mesh so each request batch shards across chips);
+- requests of any batch size are padded up to a fixed set of bucket sizes,
+  so every call hits a cached XLA executable — no shape-driven recompiles
+  in steady state, and oversized requests stream through the largest
+  bucket in chunks;
+- activations run in bfloat16 by default (float32 parameters, float32
+  logits out), matching the benchmarked deployment configuration;
+- ``predict_votes`` applies the reference's vote-ensembling protocol
+  (per-vote point-order shuffle + up-axis rotation, summed logits —
+  evaluate.py:126-141) as a serving-side option.
+
+Usage::
+
+    predictor = Predictor.from_checkpoint(
+        "pointnet2_cls_ssg", "log/ckpt_dir", num_point=1024)
+    logits = predictor(points)                       # (B, 40) float32
+    summed = predictor.predict_votes(points, 12)     # vote ensemble
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_tpu.data import augment as A
+from pointnet2_tpu.models import MODEL_REGISTRY
+from pointnet2_tpu.parallel.mesh import make_mesh, replicated_sharding
+from pointnet2_tpu.train.steps_body import _model_inputs
+
+_DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+class Predictor:
+    """A compiled inference endpoint for any registry model.
+
+    Parameters
+    ----------
+    model_name: a MODEL_REGISTRY key (reference-compatible model names).
+    variables: {"params": ..., "batch_stats": ...} as produced by training.
+    dtype: activation dtype (bfloat16 default; params stay float32).
+    buckets: allowed padded batch sizes, ascending. Each bucket compiles
+        once; requests pad to the smallest bucket that fits (larger
+        requests run in chunks of the largest bucket).
+    num_devices: shard request batches over this many devices (data
+        parallel). Buckets other than 1 must be divisible by it.
+    model_kwargs: forwarded to the model constructor (e.g. num_classes).
+    """
+
+    def __init__(self, model_name: str, variables: dict, *,
+                 dtype=jnp.bfloat16, buckets: Sequence[int] = _DEFAULT_BUCKETS,
+                 num_devices: int = 1, **model_kwargs):
+        spec = MODEL_REGISTRY[model_name]
+        self.task = spec.task
+        self.model_name = model_name
+        self._buckets = tuple(sorted(set(buckets)))
+        if num_devices > 1:
+            bad = [b for b in self._buckets if b % num_devices]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by num_devices="
+                    f"{num_devices}")
+        self._model = spec.cls(dtype=dtype, **model_kwargs)
+        self._mesh = make_mesh(num_devices) if num_devices > 1 else None
+        if self._mesh is not None:
+            variables = jax.device_put(
+                variables, replicated_sharding(self._mesh))
+        self._variables = variables
+
+        def apply_fn(variables, *inputs):
+            logits, _ = self._model.apply(variables, *inputs, train=False)
+            return logits.astype(jnp.float32)
+
+        if self._mesh is None:
+            self._apply = jax.jit(apply_fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_in = 2 if self.task == "part_seg_one_hot" else 1
+            sharded = jax.shard_map(
+                apply_fn, mesh=self._mesh,
+                in_specs=(P(),) + (P("data"),) * n_in,
+                out_specs=P("data"),
+                check_vma=False,
+            )
+            repl = NamedSharding(self._mesh, P())
+            data = NamedSharding(self._mesh, P("data"))
+            self._apply = jax.jit(
+                sharded, in_shardings=(repl,) + (data,) * n_in,
+                out_shardings=data)
+
+    # -- batching ----------------------------------------------------------
+
+    def _bucket_for(self, b: int) -> int:
+        for size in self._buckets:
+            if b <= size:
+                return size
+        return self._buckets[-1]
+
+    def _run_padded(self, arrays: tuple[np.ndarray, ...], b: int):
+        bucket = self._bucket_for(b)
+        padded = []
+        for a in arrays:
+            if b == bucket:
+                padded.append(a)
+            else:
+                # replicate row 0 into the pad (real data keeps every
+                # compiled path numerically busy; outputs are sliced off)
+                pad = np.broadcast_to(a[:1], (bucket - b,) + a.shape[1:])
+                padded.append(np.concatenate([a, pad], axis=0))
+        out = self._apply(self._variables, *[jnp.asarray(p) for p in padded])
+        return np.asarray(out)[:b]
+
+    def __call__(self, points, cls_label=None) -> np.ndarray:
+        """points: (B, N, C) float; cls_label: (B,) int for the one-hot
+        part-seg model. Returns float32 logits ((B, K) or (B, N, K))."""
+        points = np.asarray(points, np.float32)
+        b = points.shape[0]
+        inputs = (points,)
+        if self.task == "part_seg_one_hot":
+            if cls_label is None:
+                raise ValueError("part_seg_one_hot needs cls_label")
+            inputs = (points, np.asarray(cls_label, np.int32))
+        max_bucket = self._buckets[-1]
+        if b <= max_bucket:
+            return self._run_padded(inputs, b)
+        chunks = []
+        for s in range(0, b, max_bucket):
+            part = tuple(a[s:s + max_bucket] for a in inputs)
+            chunks.append(self._run_padded(part, part[0].shape[0]))
+        return np.concatenate(chunks, axis=0)
+
+    def predict_proba(self, points, cls_label=None) -> np.ndarray:
+        logits = self(points, cls_label)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    def predict_votes(self, points, num_votes: int = 12,
+                      rng=None) -> np.ndarray:
+        """Vote-ensembled logits for classification models: per vote,
+        shuffle the point order (diversifies FPS) and rotate about the up
+        axis by vote/num_votes * 2pi, then sum (evaluate.py:126-141)."""
+        if self.task != "cls":
+            raise ValueError("vote ensembling is a classification protocol")
+        rng = rng if isinstance(rng, np.random.Generator) else \
+            np.random.default_rng(rng)
+        points = np.asarray(points, np.float32)
+        num_point = points.shape[1]
+        total = None
+        for vote_idx in range(num_votes):
+            shuffled = rng.permutation(num_point)
+            rotated = A.rotate_point_cloud_by_angle(
+                points[:, shuffled, :],
+                vote_idx / float(num_votes) * np.pi * 2)
+            logits = self(rotated).astype(np.float64)
+            total = logits if total is None else total + logits
+        return total
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, model_name: str, ckpt_dir: str, *,
+                        num_point: int, in_channels: int = 3,
+                        name: str = "ckpt", optimizer: str = "adam",
+                        **kwargs) -> "Predictor":
+        """Restore a Trainer checkpoint (orbax) into a Predictor.
+
+        num_point/in_channels describe the training input shape and
+        `optimizer` the trainer's optimizer flag — both are needed to build
+        the restore template (the checkpoint stores the full TrainState)."""
+        from pointnet2_tpu.train.checkpoint import restore_checkpoint
+        from pointnet2_tpu.train.state import TrainState, make_optimizer
+
+        spec = MODEL_REGISTRY[model_name]
+        model_kwargs = {k: v for k, v in kwargs.items()
+                        if k not in ("dtype", "buckets", "num_devices")}
+        model = spec.cls(**model_kwargs)
+        dummy = jnp.zeros((1, num_point, in_channels), jnp.float32)
+        inputs = (dummy,)
+        if spec.task == "part_seg_one_hot":
+            inputs = (dummy, jnp.zeros((1,), jnp.int32))
+        variables = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               *inputs, train=False))
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+        tx = make_optimizer(optimizer, 1e-3)
+        template = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]))
+        state = restore_checkpoint(ckpt_dir, template, name=name)
+        return cls(model_name,
+                   {"params": state.params,
+                    "batch_stats": state.batch_stats},
+                   **kwargs)

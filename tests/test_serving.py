@@ -1,0 +1,111 @@
+"""Tests for the serving Predictor (pointnet2_tpu/serving.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_tpu.models import MODEL_REGISTRY
+from pointnet2_tpu.serving import Predictor
+
+
+def _init_variables(model_name, num_point=128, in_channels=3, **kw):
+    spec = MODEL_REGISTRY[model_name]
+    model = spec.cls(**kw)
+    dummy = jnp.zeros((2, num_point, in_channels), jnp.float32)
+    inputs = (dummy,)
+    if spec.task == "part_seg_one_hot":
+        inputs = (dummy, jnp.zeros((2,), jnp.int32))
+    return model.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      *inputs, train=False)
+
+
+def test_bucketed_batches_match_direct(rng):
+    variables = _init_variables("pointnet2_cls_ssg")
+    pred = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                     buckets=(4, 8))
+    pts = rng.rand(11, 128, 3).astype(np.float32)  # 8-chunk + pad-to-4
+    out = pred(pts)
+    assert out.shape == (11, 40) and out.dtype == np.float32
+
+    # bucket padding must not change a row's logits
+    spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
+    model = spec.cls()
+    direct, _ = model.apply(variables, jnp.asarray(pts[:8]), train=False)
+    np.testing.assert_allclose(out[:8], np.asarray(direct, np.float32),
+                               atol=1e-5, rtol=1e-5)
+    # rows served in the padded tail chunk match a fresh direct call too
+    direct2, _ = model.apply(variables, jnp.asarray(pts[8:]), train=False)
+    np.testing.assert_allclose(out[8:], np.asarray(direct2, np.float32),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_predict_proba_and_votes(rng):
+    variables = _init_variables("pointnet2_cls_ssg")
+    pred = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                     buckets=(4,))
+    pts = rng.rand(3, 128, 3).astype(np.float32)
+    proba = pred.predict_proba(pts)
+    np.testing.assert_allclose(proba.sum(axis=-1), 1.0, atol=1e-5)
+
+    v1 = pred.predict_votes(pts, num_votes=3, rng=0)
+    v2 = pred.predict_votes(pts, num_votes=3, rng=0)
+    np.testing.assert_allclose(v1, v2)  # seeded protocol is deterministic
+    assert v1.shape == (3, 40)
+
+
+def test_part_seg_one_hot_requires_cls_label(rng):
+    variables = _init_variables("pointnet2_part_seg_msg_one_hot",
+                                in_channels=6)
+    pred = Predictor("pointnet2_part_seg_msg_one_hot", variables,
+                     dtype=None, buckets=(2,))
+    pts = rng.rand(2, 128, 6).astype(np.float32)
+    with pytest.raises(ValueError):
+        pred(pts)
+    out = pred(pts, cls_label=np.array([1, 3]))
+    assert out.shape == (2, 128, 50)
+
+
+def test_sharded_predictor_matches_single_device(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    variables = _init_variables("pointnet2_cls_ssg")
+    pts = rng.rand(8, 128, 3).astype(np.float32)
+    single = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                       buckets=(8,))
+    multi = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                      buckets=(8,), num_devices=min(4, len(jax.devices())))
+    np.testing.assert_allclose(single(pts), multi(pts), atol=1e-5, rtol=1e-5)
+
+
+def test_from_checkpoint_roundtrip(tmp_path, rng):
+    import optax
+
+    from pointnet2_tpu.train.checkpoint import save_checkpoint
+    from pointnet2_tpu.train.state import TrainState
+
+    variables = _init_variables("pointnet2_cls_ssg")
+    state = TrainState(step=jnp.asarray(7, jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=optax.adam(1e-3).init(variables["params"]))
+    save_checkpoint(str(tmp_path), state)
+
+    pred = Predictor.from_checkpoint(
+        "pointnet2_cls_ssg", str(tmp_path), num_point=128, buckets=(4,),
+        dtype=None)
+    pts = rng.rand(2, 128, 3).astype(np.float32)
+    spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
+    direct, _ = spec.cls().apply(variables, jnp.asarray(pts), train=False)
+    np.testing.assert_allclose(pred(pts), np.asarray(direct, np.float32),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_bucket_divisibility_check():
+    variables = _init_variables("pointnet2_cls_ssg")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    with pytest.raises(ValueError):
+        Predictor("pointnet2_cls_ssg", variables, buckets=(3,),
+                  num_devices=2)
