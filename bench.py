@@ -12,9 +12,10 @@ round-trip latency is amortized exactly as in real training
 
 Runs in the TPU-native deployment configuration: bfloat16 activations with
 float32 parameters, batch statistics, and loss (cli.train --dtype bfloat16).
-Convergence parity with float32 is held by tests and was verified on-chip
-(synthetic 40-class task: bf16 0.75 vs f32 0.78 eval accuracy at epoch 59 —
-see ops/pooling.py for the gradient fix that makes this hold).
+Convergence parity is held by tests and re-verified on-chip after each
+optimization of this path (most recently: a 40-epoch synthetic bf16 A/B of
+the pool-before-affine SA tail, identical learning curves with it on/off;
+earlier: bf16-vs-f32 parity after the ops/pooling.py index-routed VJP fix).
 
 Baseline: the reference repo publishes no throughput numbers
 (SURVEY.md §6). We anchor vs_baseline to an estimated 600 clouds/sec for the

@@ -81,6 +81,11 @@ def bench_model(name: str, B: int, N: int, C: int) -> dict:
         return jax.value_and_grad(train_loss)(variables["params"], x)
 
     step_s = time_op_loop(vag, pts, iters=30)
+    # sub-10us measurements are below the loop-overhead subtraction's noise
+    # floor (pointnet_cls_basic eval is ~50us) — clamp so throughput stays
+    # meaningful instead of dividing by ~0
+    fwd_s = max(fwd_s, 1e-5)
+    step_s = max(step_s, 1e-5)
     return {
         "batch": B, "npoint": N,
         "fwd_ms": round(fwd_s * 1e3, 3),
