@@ -195,7 +195,10 @@ class Predictor:
                                *inputs, train=False))
         variables = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), variables)
-        tx = make_optimizer(optimizer, 1e-3)
+        # a *callable* schedule, as the trainer passes one — a constant lr
+        # would give the optimizer state a different pytree structure
+        # (EmptyState vs ScaleByScheduleState) and fail the orbax restore
+        tx = make_optimizer(optimizer, lambda step: 1e-3)
         template = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

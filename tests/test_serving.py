@@ -80,16 +80,17 @@ def test_sharded_predictor_matches_single_device(rng):
 
 
 def test_from_checkpoint_roundtrip(tmp_path, rng):
-    import optax
-
     from pointnet2_tpu.train.checkpoint import save_checkpoint
-    from pointnet2_tpu.train.state import TrainState
+    from pointnet2_tpu.train.state import TrainState, make_optimizer
 
     variables = _init_variables("pointnet2_cls_ssg")
+    # scheduled lr, exactly as the Trainer builds it (the opt-state pytree
+    # structure differs between constant and scheduled learning rates)
+    tx = make_optimizer("adam", lambda step: 1e-3)
     state = TrainState(step=jnp.asarray(7, jnp.int32),
                        params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=optax.adam(1e-3).init(variables["params"]))
+                       opt_state=tx.init(variables["params"]))
     save_checkpoint(str(tmp_path), state)
 
     pred = Predictor.from_checkpoint(
