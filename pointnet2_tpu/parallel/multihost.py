@@ -22,16 +22,22 @@ import jax
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize the multi-host runtime. No-op on single-process setups
-    where jax.distributed was already initialized."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
+    """Initialize the multi-host runtime.
+
+    Must run before any other jax call: even an innocuous query like
+    ``jax.process_count()`` initializes the (single-process) backend and
+    makes ``jax.distributed.initialize`` fail afterwards — which is why
+    this function must not probe jax state first (caught by
+    tests/test_multiprocess.py). With explicit coordinator info the call
+    is strict (errors surface); without, failures mean a single-process
+    environment and are ignored."""
     if coordinator_address is not None:
-        kwargs.update(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process / already-initialized environments
         pass

@@ -1,0 +1,80 @@
+"""Worker for the real multi-process distributed test (test_multiprocess.py).
+
+Each process owns 4 virtual CPU devices; two processes form one 8-device
+data mesh via jax.distributed. Runs one deterministic train step with the
+per-process input shard and prints the loss — the parent asserts both
+processes agree with the single-process 8-device result.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    # 8 global devices regardless of layout: 2 processes x 4, or 1 x 8 —
+    # the dropout fold over axis_index makes the loss depend on the GLOBAL
+    # device count, so the single-process reference must also use 8
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 // nproc}")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pointnet2_tpu.parallel import multihost
+
+    if nproc > 1:
+        multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnet2_tpu.models import MODEL_REGISTRY
+    from pointnet2_tpu.parallel.mesh import (
+        make_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+    from pointnet2_tpu.train.schedules import (
+        bn_momentum_schedule,
+        exponential_decay_clipped,
+    )
+    from pointnet2_tpu.train.state import TrainState, make_optimizer
+    from pointnet2_tpu.train.steps import make_train_step
+
+    mesh = make_mesh(jax.device_count())
+    spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
+    model = spec.cls()
+    B_global, N = 8, 64
+
+    rng = np.random.RandomState(0)
+    points = rng.rand(B_global, N, 3).astype(np.float32)
+    label = rng.randint(0, 40, (B_global,)).astype(np.int32)
+    start, stop = multihost.process_shard(B_global)
+    local = {"points": points[start:stop], "label": label[start:stop]}
+
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(points))
+    lr = exponential_decay_clipped(1e-3, B_global, 200000, 0.7)
+    tx = make_optimizer("adam", lr)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    step = make_train_step(model, spec.loss, tx,
+                           bn_momentum_schedule(B_global, 200000),
+                           task="cls", mesh=mesh, augment="none")
+    state, metrics = step(state, shard_batch(mesh, local),
+                          jax.random.PRNGKey(7))
+    loss = float(metrics["loss"])
+    print(f"MULTIPROC_RESULT pid={pid} loss={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
