@@ -26,18 +26,23 @@ from pointnet2_tpu.utils.profiling import time_op_loop
 
 # (model, batch, npoint, in_channels) at the reference's training configs
 CONFIGS = [
-    ("pointnet_cls_basic", 32, 1024, 3),
-    ("pointnet2_cls_ssg", 32, 1024, 3),
-    ("pointnet2_cls_msg", 16, 1024, 3),
-    ("pointnet2_part_seg", 16, 2048, 6),
-    ("pointnet2_part_seg_msg_one_hot", 16, 2048, 6),
-    ("pointnet2_sem_seg", 16, 8192, 3),
+    ("pointnet_cls_basic", 32, 1024, 3, None),
+    ("pointnet2_cls_ssg", 32, 1024, 3, None),
+    ("pointnet2_cls_msg", 16, 1024, 3, None),
+    # the paper's headline recipe (README.md:59): 5000 pts, XYZ+normal,
+    # nsample=128 in SA1/SA2
+    ("pointnet2_cls_msg", 8, 5000, 6,
+     {"sa1_nsample": (128, 128, 128), "sa2_nsample": (128, 128, 128)}),
+    ("pointnet2_part_seg", 16, 2048, 6, None),
+    ("pointnet2_part_seg_msg_one_hot", 16, 2048, 6, None),
+    ("pointnet2_sem_seg", 16, 8192, 3, None),
 ]
 
 
-def bench_model(name: str, B: int, N: int, C: int) -> dict:
+def bench_model(name: str, B: int, N: int, C: int,
+                model_kwargs: dict | None = None) -> dict:
     spec = MODEL_REGISTRY[name]
-    model = spec.cls(dtype=jnp.bfloat16)
+    model = spec.cls(dtype=jnp.bfloat16, **(model_kwargs or {}))
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.rand(B, N, C).astype(np.float32))
     task = spec.task
@@ -97,9 +102,10 @@ def bench_model(name: str, B: int, N: int, C: int) -> dict:
 
 def main() -> None:
     out = {}
-    for name, B, N, C in CONFIGS:
-        out[name] = bench_model(name, B, N, C)
-        print(name, json.dumps(out[name]), flush=True)
+    for name, B, N, C, mkw in CONFIGS:
+        key = name if mkw is None else f"{name}_n{N}"
+        out[key] = bench_model(name, B, N, C, mkw)
+        print(key, json.dumps(out[key]), flush=True)
     print(json.dumps(out, indent=1))
 
 
