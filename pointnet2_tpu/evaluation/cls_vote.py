@@ -14,6 +14,26 @@ import numpy as np
 from pointnet2_tpu.data import augment as A
 
 
+def vote_logits(eval_logits_fn, pts: np.ndarray, num_votes: int,
+                rng=None) -> np.ndarray:
+    """Summed logits over the reference's voting protocol
+    (evaluate.py:126-141): per vote, shuffle the point order (diversifies
+    the FPS seeds) and rotate about the up axis by vote/num_votes * 2*pi
+    (normal-aware for 6-channel clouds). Shared by the eval protocol below
+    and serving.Predictor.predict_votes."""
+    rng = rng if isinstance(rng, np.random.Generator) else \
+        np.random.default_rng(rng)
+    num_point = pts.shape[1]
+    total = None
+    for vote_idx in range(num_votes):
+        shuffled = rng.permutation(num_point)
+        rotated = A.rotate_point_cloud_by_angle(
+            pts[:, shuffled, :], vote_idx / float(num_votes) * np.pi * 2)
+        logits = np.asarray(eval_logits_fn(rotated), np.float64)
+        total = logits if total is None else total + logits
+    return total
+
+
 def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
                         num_classes: int = 40, rng=None,
                         log_fn=print) -> dict:
@@ -33,13 +53,7 @@ def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
         pts = batch["points"]
         label = batch["label"]
         nvalid = batch["nvalid"]
-        num_point = pts.shape[1]
-        pred_sum = np.zeros((pts.shape[0], num_classes), np.float64)
-        for vote_idx in range(num_votes):
-            shuffled = rng.permutation(num_point)
-            rotated = A.rotate_point_cloud_by_angle(
-                pts[:, shuffled, :], vote_idx / float(num_votes) * np.pi * 2)
-            pred_sum += np.asarray(eval_logits_fn(rotated), np.float64)
+        pred_sum = vote_logits(eval_logits_fn, pts, num_votes, rng)
         pred = pred_sum.argmax(axis=1)[:nvalid]
         label = label[:nvalid]
         total_correct += int((pred == label).sum())

@@ -33,10 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointnet2_tpu.data import augment as A
 from pointnet2_tpu.models import MODEL_REGISTRY
 from pointnet2_tpu.parallel.mesh import make_mesh, replicated_sharding
-from pointnet2_tpu.train.steps_body import _model_inputs
 
 _DEFAULT_BUCKETS = (1, 4, 16, 64)
 
@@ -53,7 +51,7 @@ class Predictor:
         once; requests pad to the smallest bucket that fits (larger
         requests run in chunks of the largest bucket).
     num_devices: shard request batches over this many devices (data
-        parallel). Buckets other than 1 must be divisible by it.
+        parallel); bucket sizes round up to multiples of it.
     model_kwargs: forwarded to the model constructor (e.g. num_classes).
     """
 
@@ -63,18 +61,20 @@ class Predictor:
         spec = MODEL_REGISTRY[model_name]
         self.task = spec.task
         self.model_name = model_name
-        self._buckets = tuple(sorted(set(buckets)))
         if num_devices > 1:
-            bad = [b for b in self._buckets if b % num_devices]
-            if bad:
-                raise ValueError(
-                    f"buckets {bad} not divisible by num_devices="
-                    f"{num_devices}")
+            # every padded batch shards over the mesh, so round buckets up
+            # to the device count (bucket 1 becomes num_devices, etc.)
+            buckets = [-(-b // num_devices) * num_devices for b in buckets]
+        self._buckets = tuple(sorted(set(buckets)))
         self._model = spec.cls(dtype=dtype, **model_kwargs)
         self._mesh = make_mesh(num_devices) if num_devices > 1 else None
         if self._mesh is not None:
             variables = jax.device_put(
                 variables, replicated_sharding(self._mesh))
+        else:
+            # device-resident parameters: without this, numpy-backed
+            # variables (e.g. an orbax restore) re-upload per request
+            variables = jax.device_put(variables)
         self._variables = variables
 
         def apply_fn(variables, *inputs):
@@ -131,6 +131,12 @@ class Predictor:
             if cls_label is None:
                 raise ValueError("part_seg_one_hot needs cls_label")
             inputs = (points, np.asarray(cls_label, np.int32))
+        if b == 0:
+            out = jax.eval_shape(
+                self._apply, self._variables,
+                *[jax.ShapeDtypeStruct((self._buckets[0],) + a.shape[1:],
+                                       a.dtype) for a in inputs])
+            return np.zeros((0,) + out.shape[1:], np.float32)
         max_bucket = self._buckets[-1]
         if b <= max_bucket:
             return self._run_padded(inputs, b)
@@ -149,22 +155,14 @@ class Predictor:
                       rng=None) -> np.ndarray:
         """Vote-ensembled logits for classification models: per vote,
         shuffle the point order (diversifies FPS) and rotate about the up
-        axis by vote/num_votes * 2pi, then sum (evaluate.py:126-141)."""
+        axis by vote/num_votes * 2pi, then sum — the same protocol (and
+        shared code) as evaluation.cls_vote (evaluate.py:126-141)."""
+        from pointnet2_tpu.evaluation.cls_vote import vote_logits
+
         if self.task != "cls":
             raise ValueError("vote ensembling is a classification protocol")
-        rng = rng if isinstance(rng, np.random.Generator) else \
-            np.random.default_rng(rng)
-        points = np.asarray(points, np.float32)
-        num_point = points.shape[1]
-        total = None
-        for vote_idx in range(num_votes):
-            shuffled = rng.permutation(num_point)
-            rotated = A.rotate_point_cloud_by_angle(
-                points[:, shuffled, :],
-                vote_idx / float(num_votes) * np.pi * 2)
-            logits = self(rotated).astype(np.float64)
-            total = logits if total is None else total + logits
-        return total
+        return vote_logits(self, np.asarray(points, np.float32), num_votes,
+                           rng)
 
     # -- construction ------------------------------------------------------
 

@@ -103,10 +103,17 @@ def test_from_checkpoint_roundtrip(tmp_path, rng):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_bucket_divisibility_check():
+def test_buckets_round_up_to_device_count():
     variables = _init_variables("pointnet2_cls_ssg")
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
-    with pytest.raises(ValueError):
-        Predictor("pointnet2_cls_ssg", variables, buckets=(3,),
-                  num_devices=2)
+    pred = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                     buckets=(1, 3, 8), num_devices=2)
+    assert pred._buckets == (2, 4, 8)
+
+
+def test_empty_batch(rng):
+    variables = _init_variables("pointnet2_cls_ssg")
+    pred = Predictor("pointnet2_cls_ssg", variables, dtype=None, buckets=(4,))
+    out = pred(np.zeros((0, 128, 3), np.float32))
+    assert out.shape == (0, 40) and out.dtype == np.float32
