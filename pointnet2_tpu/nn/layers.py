@@ -45,6 +45,23 @@ def cross_replica_bn(axis_name: str | None):
         _BN_AXIS.pop()
 
 
+def _batch_stats(x, syncable: bool):
+    """f32 batch mean/var over all axes but channels, pmean'd over the
+    cross-replica BN axis when one is active (and `syncable`). The single
+    source of the BN statistics semantics — used by BatchNorm.__call__ and
+    BatchNorm.affine_coeffs."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    meansq = jnp.mean(jnp.square(xf), axis=axes)
+    axis_name = _BN_AXIS[-1]
+    if axis_name is not None and syncable:
+        mean = jax.lax.pmean(mean, axis_name)
+        meansq = jax.lax.pmean(meansq, axis_name)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    return mean, var
+
+
 class BatchNorm(nn.Module):
     """Batch normalization with call-time momentum (for the bn_decay schedule)."""
 
@@ -62,15 +79,7 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((C,), jnp.float32))
 
         if train:
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            meansq = jnp.mean(jnp.square(xf), axis=axes)
-            axis_name = _BN_AXIS[-1]
-            if axis_name is not None and not self.is_initializing():
-                mean = jax.lax.pmean(mean, axis_name)
-                meansq = jax.lax.pmean(meansq, axis_name)
-            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+            mean, var = _batch_stats(x, not self.is_initializing())
             if not self.is_initializing():
                 # moving = moving*decay + batch*(1-decay)  (tf contrib semantics)
                 m = jnp.asarray(momentum, jnp.float32)
@@ -108,15 +117,7 @@ class BatchNorm(nn.Module):
         scale = self.get_variable("params", "scale")
         bias = self.get_variable("params", "bias")
         if train:
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            meansq = jnp.mean(jnp.square(xf), axis=axes)
-            axis_name = _BN_AXIS[-1]
-            if axis_name is not None and not self.is_initializing():
-                mean = jax.lax.pmean(mean, axis_name)
-                meansq = jax.lax.pmean(meansq, axis_name)
-            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+            mean, var = _batch_stats(x, not self.is_initializing())
             if not self.is_initializing():  # as __call__: no init update
                 self.update_stats(mean, var, momentum)
         else:

@@ -35,6 +35,7 @@ def _pairwise_sqdist(xyz2: jax.Array, xyz1: jax.Array) -> jax.Array:
     return jnp.sum(jnp.square(diff), axis=-1)
 
 
+@partial(jax.jit, static_argnames=("radius", "nsample"))
 def _ball_query_xla(radius, nsample, xyz1, xyz2):
     B, N, _ = xyz1.shape
     d2 = _pairwise_sqdist(xyz2, xyz1)  # (B, M, N)
@@ -55,9 +56,8 @@ def _ball_query_xla(radius, nsample, xyz1, xyz2):
     return idx.astype(jnp.int32), cnt
 
 
-@partial(jax.jit, static_argnames=("radius", "nsample", "impl"))
 def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Array,
-                     impl: str | None = None):
+                      impl: str | None = None):
     """Fixed-radius near-neighbor search with padded fixed-size output.
 
     Args:
@@ -83,7 +83,6 @@ def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Arr
     return _ball_query_xla(radius, nsample, xyz1, xyz2)
 
 
-@partial(jax.jit, static_argnames=("radius", "nsample", "impl"))
 def query_ball_and_group_xyz(radius: float, nsample: int, xyz1: jax.Array,
                              xyz2: jax.Array, impl: str | None = None):
     """Fused ball query + neighbor-coordinate gather (one kernel pass).
@@ -136,11 +135,9 @@ def _group_point_xla(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _exact_gather_precision(dtype):
-    """Matmul precision at which a one-hot contraction is an exact copy:
-    the MXU truncates f32 operands to bf16 at default precision, so f32
-    needs HIGHEST; bf16 is exact at default (one factor is 1.0)."""
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    from pointnet2_tpu.ops.pallas.util import exact_copy_precision
+
+    return exact_copy_precision(dtype)
 
 
 def onehot_gather_rows(points: jax.Array, idx_flat: jax.Array) -> jax.Array:
@@ -200,11 +197,13 @@ def group_point(points: jax.Array, idx: jax.Array,
     kernels in ops/pallas/group.py via impl="pallas").
     """
     resolved = config.resolve_gather_impl(impl)
-    if resolved == "pallas":
+    is_float = jnp.issubdtype(points.dtype, jnp.floating)
+    # f32-accumulating one-hot paths are exact only for float payloads
+    if resolved == "pallas" and is_float:
         from pointnet2_tpu.ops.pallas.group import group_point_pallas
 
         return group_point_pallas(points, idx)
-    if resolved == "mxu" and jnp.issubdtype(points.dtype, jnp.floating):
+    if resolved == "mxu" and is_float:
         return _group_point_mxu(points, idx)
     return _group_point_xla(points, idx)
 

@@ -41,10 +41,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import round_up as _round_up
 
 _LANE = 128
 # MXU cumsum triangle size. The matmul cost is TM*Np*CHUNK, so smaller
@@ -53,8 +55,6 @@ _LANE = 128
 _CUMSUM_CHUNK = 256
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _cumsum_lanes_vpu(x: jax.Array, col: jax.Array) -> jax.Array:
@@ -204,8 +204,12 @@ def _run(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Array,
         out_shape += [jax.ShapeDtypeStruct((B, Mp, nsample), jnp.float32)] * 3
 
     grid = (B, Mp // TM)
+    # f32-rounded threshold: the XLA path compares d2 < f32(radius)**2 in
+    # f32; a python-f64 radius**2 differs by an ulp for e.g. radius=0.1
+    # and flips boundary points between the two implementations
+    r2_f32 = float(np.square(np.float32(radius)))
     outs = pl.pallas_call(
-        partial(_ball_query_kernel, r2=float(radius) ** 2, nsample=nsample,
+        partial(_ball_query_kernel, r2=r2_f32, nsample=nsample,
                 n_real=N, with_xyz=with_xyz),
         grid=grid,
         in_specs=[

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import round_up as _round_up
 
 _LANE = 128
 # Budget for TB*Np (elements per (TB, Np) f32 working plane). The kernel
@@ -50,8 +51,6 @@ _LANE = 128
 _PLANE_BUDGET = 1 << 17
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _fps_kernel(xyz_ref, out_ref, *, npoint: int):
@@ -92,7 +91,7 @@ def _pick_tb(B: int, Np: int) -> int:
     cap = max(1, _PLANE_BUDGET // Np)
     if B <= cap:
         return B
-    # largest divisor of B that fits the budget, preferring sublane multiples
+    # largest divisor of B that fits the budget
     best = 1
     for tb in range(1, min(B, cap) + 1):
         if B % tb == 0:

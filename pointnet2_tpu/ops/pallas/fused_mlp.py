@@ -322,7 +322,7 @@ def _top_stats(y, g, p, *, pool: bool):
 
 def _dense_bwd_kernel(yk_ref, yp_ref, g_ref, pk_ref, pp_ref, w_ref,
                       gout_ref, dw_ref, db_ref, t1_ref, t2_ref,
-                      *, top_pool: bool, below_affine: bool):
+                      *, top_pool: bool):
     """One backward pass for dense layer k.
 
     Recomputes out_k / the pool routing / z_{k-1} in VMEM; emits
@@ -351,15 +351,14 @@ def _dense_bwd_kernel(yk_ref, yp_ref, g_ref, pk_ref, pp_ref, w_ref,
     yhat = (yk - pk[2][None, :]) * pk[3][None, :]
     dy = pk[4][None, :] * (dout - pk[5][None, :] - yhat * pk[6][None, :])
 
+    # the chain always has a BN below every dense (BN_0 covers the chain
+    # input), so the below-layer activation is recomputed unconditionally
     yp = yp_ref[...].astype(jnp.float32)
     pp = pp_ref[...]
     Cp = yp.shape[-1]
     yp = yp.reshape(rows, Cp)
-    if below_affine:
-        out_p = yp * pp[0][None, :] + pp[1][None, :]
-        zp = jnp.maximum(out_p, 0.0).astype(yp_ref.dtype)
-    else:
-        zp = yp.astype(yp_ref.dtype)
+    out_p = yp * pp[0][None, :] + pp[1][None, :]
+    zp = jnp.maximum(out_p, 0.0).astype(yp_ref.dtype)
 
     dy_c = dy.astype(yp_ref.dtype)
     dw = jax.lax.dot_general(zp, dy_c, (((0,), (0,)), ((), ())),
@@ -378,16 +377,15 @@ def _dense_bwd_kernel(yk_ref, yp_ref, g_ref, pk_ref, pp_ref, w_ref,
 
     dw_ref[...] += dw
     db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-    if below_affine:
-        # totals from the *rounded* cotangent, identical to what the next
-        # kernel will reload
-        doutp = dzp_c.astype(jnp.float32) * (out_p > 0)
-        yhatp = (yp - pp[2][None, :]) * pp[3][None, :]
-        t1_ref[...] += jnp.sum(doutp, axis=0, keepdims=True)
-        t2_ref[...] += jnp.sum(doutp * yhatp, axis=0, keepdims=True)
+    # totals from the *rounded* cotangent, identical to what the next
+    # kernel will reload
+    doutp = dzp_c.astype(jnp.float32) * (out_p > 0)
+    yhatp = (yp - pp[2][None, :]) * pp[3][None, :]
+    t1_ref[...] += jnp.sum(doutp, axis=0, keepdims=True)
+    t2_ref[...] += jnp.sum(doutp * yhatp, axis=0, keepdims=True)
 
 
-def _dense_bwd(yk, yp, g, pk, pp, w, *, top_pool: bool, below_affine: bool):
+def _dense_bwd(yk, yp, g, pk, pp, w, *, top_pool: bool):
     """Backward for dense layer k.
 
     yk: (G, S, Ck) when top_pool else (R, Ck); yp: rows x Cp (pre-BN_{k-1});
@@ -439,8 +437,7 @@ def _dense_bwd(yk, yp, g, pk, pp, w, *, top_pool: bool, below_affine: bool):
         args = (yk, yp.reshape(R, Cp), g)
 
     gout, dw, db, t1, t2 = pl.pallas_call(
-        partial(_dense_bwd_kernel, top_pool=top_pool,
-                below_affine=below_affine),
+        partial(_dense_bwd_kernel, top_pool=top_pool),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -608,7 +605,7 @@ def _fused_chain_bwd(cfg, res, cts):
             else saved[k]
         g, dw, db, t1, t2 = _dense_bwd(
             yk, saved[k - 1], g, pk, pack_plain(k - 1), w,
-            top_pool=(top and cfg.pool), below_affine=True)
+            top_pool=(top and cfg.pool))
         d_denses[k - 1] = (dw, db[0])
         d_biases[k - 1] = t1[0]
         d_scales[k - 1] = t2[0]

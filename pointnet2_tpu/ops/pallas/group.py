@@ -29,24 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import (
+    exact_copy_precision as _exact_precision,
+    round_up as _round_up,
+)
 
 _LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _exact_precision(dtype):
-    """Precision that makes a one-hot contraction an exact copy.
-
-    The MXU truncates f32 operands to bf16 at default precision, which
-    would round gathered values -> use HIGHEST (multi-pass) for f32. bf16
-    operands are copied exactly at default precision (one factor is 1.0),
-    at 3x the f32 throughput.
-    """
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
 
 
 def _gather_kernel(idx_ref, pts_ref, out_ref, *, nchunk_size: int):

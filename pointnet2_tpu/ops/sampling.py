@@ -30,6 +30,7 @@ from pointnet2_tpu import config
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("npoint",))
 def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
     """Pure-XLA FPS via lax.scan. xyz: (B, N, 3) -> (B, npoint) int32."""
     B, N, _ = xyz.shape
@@ -53,7 +54,6 @@ def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
     return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), rest.T], axis=1)
 
 
-@partial(jax.jit, static_argnames=("npoint", "impl"))
 def farthest_point_sample(xyz: jax.Array, npoint: int, impl: str | None = None) -> jax.Array:
     """Iterative farthest point sampling.
 
@@ -66,6 +66,9 @@ def farthest_point_sample(xyz: jax.Array, npoint: int, impl: str | None = None) 
     # Index-producing: no gradient, like the reference's ops.NoGradient
     # (tf_sampling.py:22). stop_gradient also keeps reverse-mode AD from
     # trying to linearize the Pallas custom call (which has no JVP rule).
+    # NOTE: the dispatcher itself is not jitted — resolve_impl must re-read
+    # the config global on every eager call (a jitted dispatcher would pin
+    # the first-resolved implementation in its trace cache).
     xyz = jax.lax.stop_gradient(xyz)
     resolved = config.resolve_impl(impl)
     if resolved == "pallas":
@@ -117,11 +120,14 @@ def gather_point(points: jax.Array, idx: jax.Array,
     formulation by default; Pallas kernels via impl="pallas").
     """
     resolved = config.resolve_gather_impl(impl)
-    if resolved == "pallas":
+    is_float = jnp.issubdtype(points.dtype, jnp.floating)
+    # one-hot MXU formulations (pallas and mxu) accumulate in f32 — exact
+    # for float payloads but corrupting for integers above 2^24
+    if resolved == "pallas" and is_float:
         from pointnet2_tpu.ops.pallas.group import gather_point_pallas
 
         return gather_point_pallas(points, idx)
-    if resolved == "mxu" and jnp.issubdtype(points.dtype, jnp.floating):
+    if resolved == "mxu" and is_float:
         return _gather_point_mxu(points, idx)
     return _gather_point_xla(points, idx)
 

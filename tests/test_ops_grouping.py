@@ -251,3 +251,69 @@ def test_query_ball_and_group_xyz_grad_is_scatter_add(rng):
     gp = np.asarray(jax.grad(loss("pallas"))(xyz1))
     gx = np.asarray(jax.grad(loss("xla"))(xyz1))
     np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)
+
+
+def test_impl_dispatch_not_pinned_by_jit_cache(rng):
+    """config.default_impl must take effect on every eager call — a jitted
+    dispatcher would pin the first-resolved implementation in its trace
+    cache (regression test)."""
+    from unittest import mock
+
+    from pointnet2_tpu import config as cfg
+    from pointnet2_tpu.ops import grouping
+
+    xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    new_xyz = xyz[:, :16]
+    with cfg.default_impl("xla"):
+        query_ball_point(0.3, 8, xyz, new_xyz)  # populate any caches
+    calls = []
+    real = cfg.resolve_impl
+
+    def spy(impl):
+        out = real(impl)
+        calls.append(out)
+        return out
+
+    with mock.patch.object(grouping.config, "resolve_impl", spy):
+        with cfg.default_impl("xla"):
+            query_ball_point(0.3, 8, xyz, new_xyz)
+        with cfg.default_impl("pallas"):
+            query_ball_point(0.3, 8, xyz, new_xyz)
+    assert calls == ["xla", "pallas"]
+
+
+def test_integer_gather_exact_above_2_24(rng):
+    """Integer payloads must bypass the f32-accumulating one-hot paths
+    (which corrupt values above 2^24) under every impl setting."""
+    from pointnet2_tpu import config as cfg
+    from pointnet2_tpu.ops import gather_point
+
+    vals = (np.int32(1) << 24) + rng.randint(0, 1 << 22, (2, 32, 4))
+    points = jnp.asarray(vals.astype(np.int32))
+    idx = jnp.asarray(rng.randint(0, 32, (2, 8)).astype(np.int32))
+    want = np.take_along_axis(vals, np.asarray(idx)[:, :, None], axis=1)
+    for impl in ("xla", "mxu", "pallas"):
+        with cfg.default_impl(impl):
+            got = gather_point(points, idx)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=impl)
+
+
+def test_ball_query_impl_parity_at_radius_boundary():
+    """A point at exactly the f32-rounded radius boundary must be counted
+    identically by the XLA and Pallas implementations (regression: the
+    Pallas kernel used the python-f64 radius**2, one ulp off f32)."""
+    from pointnet2_tpu import config as cfg
+
+    r = 0.1
+    d = float(np.sqrt(np.float32(np.float32(r) ** 2)))  # d2 == f32(r)^2
+    xyz = jnp.asarray(np.array([[[0.0, 0.0, 0.0], [d, 0.0, 0.0],
+                                 [0.05, 0.0, 0.0], [0.5, 0.5, 0.5]]],
+                               np.float32))
+    q = xyz[:, :1]
+    outs = {}
+    for impl in ("xla", "pallas"):
+        with cfg.default_impl(impl):
+            idx, cnt = query_ball_point(r, 3, xyz, q)
+        outs[impl] = (np.asarray(idx), np.asarray(cnt))
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
