@@ -9,6 +9,10 @@ processes agree with the single-process 8-device result.
 import os
 import sys
 
+# launched as `python tests/_multiprocess_worker.py`, so sys.path[0] is
+# tests/ — make the repo root importable regardless of install state
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     pid = int(sys.argv[1])
