@@ -9,8 +9,12 @@ mesh differs.
 
 from __future__ import annotations
 
+import dataclasses
+import inspect
 import json
 import os
+import shutil
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -96,9 +100,25 @@ class Trainer:
                                         mesh=self.mesh)
         self._rng = jax.random.PRNGKey(config.seed)
         os.makedirs(config.log_dir, exist_ok=True)
+        self._snapshot_sources()
         self._log_file = open(os.path.join(config.log_dir, "log_train.txt"), "a")
         self._metrics_file = open(
             os.path.join(config.log_dir, "metrics.jsonl"), "a")
+
+    def _snapshot_sources(self) -> None:
+        """Snapshot the run's provenance into the log dir: the model source
+        file and driver script (the reference copies both, train.py:56-57)
+        plus the fully-resolved config as JSON (the reference has no config
+        record beyond argv in the log)."""
+        cfg = self.config
+        for src in (inspect.getsourcefile(type(self.model)),
+                    getattr(sys.modules.get("__main__"), "__file__", None)):
+            if src and os.path.isfile(src):
+                dst = os.path.join(cfg.log_dir, os.path.basename(src))
+                if os.path.abspath(src) != os.path.abspath(dst):
+                    shutil.copyfile(src, dst)
+        with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     # ------------------------------------------------------------------
     def log(self, msg: str) -> None:

@@ -1,5 +1,7 @@
 """Training-loop integration tests on the 8-device virtual CPU mesh."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,10 @@ def test_trainer_fit_and_eval(tmp_path):
     state = tr.fit(ds, eval_dataset=ds)
     acc = tr.eval_epoch(state, ds, epoch=99)
     assert 0.0 <= acc <= 1.0
+    # Source/config snapshot into the log dir (reference train.py:56-57).
+    assert (tmp_path / "cls_ssg.py").is_file()
+    cfg = json.loads((tmp_path / "config.json").read_text())
+    assert cfg["model"] == "pointnet2_cls_ssg" and cfg["batch_size"] == 8
 
 
 def test_checkpoint_roundtrip_resume(tmp_path):
