@@ -49,7 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (params/stats stay float32)")
-    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--eval_every", type=int, default=None,
+                   help="epochs between evals (default 1; sem_seg defaults "
+                        "to 5 like scannet/train.py:167)")
+    p.add_argument("--no_whole_scene_eval", action="store_true",
+                   help="sem_seg: skip the whole-scene sliding-block eval "
+                        "and caliacc best-ckpt selection during training")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed; --batch_size is the "
                         "GLOBAL batch, data is sharded per host")
@@ -148,6 +153,31 @@ def _make_datasets_sharded(args, shard):
     return train, test, "scannet"
 
 
+def make_sem_seg_eval_protocol(args, test_ds, shard):
+    """Whole-scene + caliacc best-ckpt selection (scannet/train.py:167-174).
+
+    The chopped (random-crop) eval reuses `test_ds`; the whole-scene tiler
+    reads the same scenes (pickle root or the synthetic set)."""
+    from pointnet2_tpu.data import ScannetDatasetWholeScene
+    from pointnet2_tpu.evaluation.scannet_eval import (
+        make_scannet_eval_protocol,
+    )
+
+    if args.synthetic or args.data is None:
+        from pointnet2_tpu.data import make_synthetic_scenes
+
+        whole = ScannetDatasetWholeScene(
+            scenes=make_synthetic_scenes(2, seed=9),
+            npoints=args.num_point, split="test",
+            batch_size=args.batch_size)
+    else:
+        whole = ScannetDatasetWholeScene(
+            root=args.data, npoints=args.num_point, split="test",
+            batch_size=args.batch_size, process_shard=shard)
+    return make_scannet_eval_protocol(test_ds, whole,
+                                      batch_size=args.batch_size)
+
+
 def main(argv=None) -> None:
     from pointnet2_tpu.train import TrainConfig, Trainer
 
@@ -157,11 +187,14 @@ def main(argv=None) -> None:
 
         multihost.initialize()
     train_ds, test_ds, augment = make_datasets(args)
+    task = MODEL_REGISTRY[args.model].task
     model_kwargs = {}
     if args.num_classes is not None:
-        task = MODEL_REGISTRY[args.model].task
         key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
         model_kwargs[key] = args.num_classes
+    eval_every = args.eval_every
+    if eval_every is None:
+        eval_every = 5 if task == "sem_seg" else 1
     config = TrainConfig(
         model=args.model, num_point=args.num_point,
         batch_size=args.batch_size, max_epoch=args.max_epoch,
@@ -169,10 +202,18 @@ def main(argv=None) -> None:
         optimizer=args.optimizer, decay_step=args.decay_step,
         decay_rate=args.decay_rate, augment=augment,
         num_devices=args.num_devices, log_dir=args.log_dir,
-        compute_dtype=args.dtype, model_kwargs=model_kwargs)
+        eval_every=eval_every, compute_dtype=args.dtype,
+        model_kwargs=model_kwargs)
     trainer = Trainer(config)
     trainer.log(f"config: {vars(args)}")
-    trainer.fit(train_ds, eval_dataset=test_ds)
+    eval_protocol = None
+    if task == "sem_seg" and not args.no_whole_scene_eval:
+        import jax
+
+        shard = ((jax.process_index(), jax.process_count())
+                 if args.multihost and jax.process_count() > 1 else None)
+        eval_protocol = make_sem_seg_eval_protocol(args, test_ds, shard)
+    trainer.fit(train_ds, eval_dataset=test_ds, eval_protocol=eval_protocol)
 
 
 if __name__ == "__main__":

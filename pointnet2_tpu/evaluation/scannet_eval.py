@@ -67,6 +67,36 @@ class ScanNetMetrics:
                 self.correct_class_vox[l] += int(((uvlabel[:, 0] == l)
                                                   & (uvlabel[:, 1] == l)).sum())
 
+    def counters(self) -> np.ndarray:
+        """All accumulators flattened to one int64 vector (for cross-host
+        reduction: counters are additive across data shards)."""
+        return np.concatenate([
+            np.array([self.total_correct, self.total_seen,
+                      self.total_correct_vox, self.total_seen_vox],
+                     np.int64),
+            self.seen_class, self.correct_class,
+            self.seen_class_vox, self.correct_class_vox,
+        ])
+
+    def load_counters(self, vec: np.ndarray) -> "ScanNetMetrics":
+        (self.total_correct, self.total_seen, self.total_correct_vox,
+         self.total_seen_vox) = (int(v) for v in vec[:4])
+        n = NUM_CLASSES
+        self.seen_class = vec[4:4 + n].copy()
+        self.correct_class = vec[4 + n:4 + 2 * n].copy()
+        self.seen_class_vox = vec[4 + 2 * n:4 + 3 * n].copy()
+        self.correct_class_vox = vec[4 + 3 * n:4 + 4 * n].copy()
+        return self
+
+    def allreduced(self) -> "ScanNetMetrics":
+        """Sum the accumulators across JAX processes (no-op on one). With
+        host-sharded eval scenes, each host accumulates its shard locally
+        and every host ends up with the global metrics."""
+        from pointnet2_tpu.parallel import multihost
+
+        return ScanNetMetrics().load_counters(
+            multihost.allreduce_sum(self.counters()))
+
     def result(self, log_fn=print, prefix: str = "eval") -> dict:
         point_acc = self.total_correct / max(self.total_seen, 1)
         point_acc_vox = self.total_correct_vox / max(self.total_seen_vox, 1)
@@ -106,7 +136,7 @@ def evaluate_scannet_chopped(eval_logits_fn, dataset, rng=None,
         pred = logits.argmax(-1)
         metrics.update(aug[:nvalid], pred[:nvalid], batch["seg"][:nvalid],
                        batch["smpw"][:nvalid])
-    return metrics.result(log_fn, prefix="eval")
+    return metrics.allreduced().result(log_fn, prefix="eval")
 
 
 def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
@@ -139,4 +169,32 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
         block_w.append(w)
         flush()
     flush(force=True)
-    return metrics.result(log_fn, prefix="eval whole scene")
+    return metrics.allreduced().result(log_fn, prefix="eval whole scene")
+
+
+def make_scannet_eval_protocol(chopped_dataset, whole_scene_dataset=None,
+                               batch_size: int = 16, seed: int = 0):
+    """Best-checkpoint selection protocol for Trainer.fit.
+
+    Mirrors scannet/train.py:167-174: on the eval cadence run the
+    random-crop eval AND the whole-scene sliding-block eval, and score the
+    epoch by the whole-scene calibrated voxel accuracy (the paper's
+    headline metric) so `best` checkpoints track caliacc, not plain point
+    accuracy. Returns protocol(trainer, state, epoch) -> caliacc.
+    """
+    rng = np.random.default_rng(seed)
+
+    def protocol(trainer, state, epoch: int) -> float:
+        logits_fn = trainer.eval_logits_fn(state)
+        chopped = evaluate_scannet_chopped(
+            logits_fn, chopped_dataset, rng=rng, log_fn=trainer.log)
+        trainer.log_metrics(epoch=epoch, split="eval_chopped", **chopped)
+        if whole_scene_dataset is None:
+            return chopped["calibrated_accuracy_vox"]
+        whole = evaluate_scannet_whole_scene(
+            logits_fn, whole_scene_dataset, batch_size=batch_size,
+            log_fn=trainer.log)
+        trainer.log_metrics(epoch=epoch, split="eval_whole_scene", **whole)
+        return whole["calibrated_accuracy_vox"]
+
+    return protocol

@@ -43,6 +43,51 @@ def initialize(coordinator_address: str | None = None,
         pass
 
 
+def is_primary() -> bool:
+    """True on the process that owns shared-filesystem side effects
+    (checkpoint writes, log files, source snapshots)."""
+    return jax.process_index() == 0
+
+
+def sync_num_batches(local_num_batches: int, reduce: str = "min") -> int:
+    """Agree on a per-epoch batch count across hosts.
+
+    Host-sharded datasets can disagree on num_batches (the last host owns
+    the remainder). Every jit(shard_map) dispatch is lockstep across
+    processes, so hosts MUST run the same number of steps or the job
+    deadlocks. Training uses reduce="min" (the surplus tail batches are
+    skipped — at most hosts-1 batches/epoch, and the epoch shuffle means
+    different items each time); evaluation uses reduce="max" and exhausted
+    hosts feed zero-masked padding batches so nothing is dropped.
+    """
+    if jax.process_count() == 1:
+        return local_num_batches
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.int64(local_num_batches)))
+    return int(counts.min() if reduce == "min" else counts.max())
+
+
+def allreduce_sum(x):
+    """Sum a host-local numpy array across all processes (no-op on one)."""
+    if jax.process_count() == 1:
+        return x
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x))).sum(0)
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op on one)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def process_shard(num_items: int) -> tuple[int, int]:
     """(start, stop) of this host's contiguous shard of a dataset."""
     rank, count = jax.process_index(), jax.process_count()

@@ -1,27 +1,57 @@
-"""Orbax checkpointing with full resume.
+"""Orbax checkpointing with full resume, coordinated across hosts.
 
 Improves on the reference's tf.train.Saver usage (train.py:144,181-183),
 which never restores the epoch/step counters — training always restarted
-from epoch 0. Here (params, batch_stats, opt_state, step) round-trip, so
-resume is exact.
+from epoch 0. Here (params, batch_stats, opt_state, step) round-trip and a
+sidecar meta record stores the epoch explicitly, so resume is exact even
+if the batch size or dataset size changed between runs.
+
+Multi-host: the train state is fully replicated, so process 0 alone writes
+the checkpoint (every process holds the whole state locally); a barrier
+keeps other processes from racing ahead and restoring a half-written file.
+All processes restore independently from the shared path.
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
+from pointnet2_tpu.parallel import multihost
 from pointnet2_tpu.train.state import TrainState
 
 
-def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt") -> str:
+def _meta_path(directory: str, name: str) -> str:
+    return os.path.join(os.path.abspath(directory), f"{name}.meta.json")
+
+
+def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
+                    epoch: int | None = None) -> str:
+    """Write the checkpoint (process 0 only) and barrier all hosts.
+
+    `epoch` is the number of COMPLETED epochs at save time; it round-trips
+    through the sidecar meta file so resume does not have to derive it
+    from step // num_batches (which silently mis-resumes if the batch size
+    changed).
+    """
     path = os.path.join(os.path.abspath(directory), name)
+    # Every process participates: orbax's save is itself multihost-
+    # coordinated (internal sync_global_devices + primary-host writes for
+    # replicated/numpy values), so gating it on one process would deadlock.
+    # state is replicated, so device_get is fully local on every host.
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
+    if multihost.is_primary():
+        meta = {"step": int(state.step), "epoch": epoch}
+        tmp = _meta_path(directory, name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _meta_path(directory, name))
+    # keep non-primary processes from restoring before the meta lands
+    multihost.barrier(f"ckpt_save:{name}")
     return path
 
 
@@ -34,6 +64,21 @@ def restore_checkpoint(directory: str, template: TrainState,
         return ckptr.restore(path, abstract)
 
 
-def latest_step(directory: str, name: str = "ckpt") -> int | None:
+def load_meta(directory: str, name: str = "ckpt") -> dict | None:
+    """Sidecar meta ({"step", "epoch"}) if a checkpoint exists, else None.
+    Checkpoints written before meta existed report step/epoch as None."""
     path = os.path.join(os.path.abspath(directory), name)
-    return 0 if os.path.isdir(path) else None
+    if not os.path.isdir(path):
+        return None
+    try:
+        with open(_meta_path(directory, name)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"step": None, "epoch": None}
+
+
+def latest_step(directory: str, name: str = "ckpt") -> int | None:
+    meta = load_meta(directory, name)
+    if meta is None:
+        return None
+    return meta.get("step") or 0

@@ -117,6 +117,49 @@ def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
     return _finalize(local_multi, mesh, P(None, DATA_AXIS))
 
 
+def make_eval_count_step(model, task: str = "cls", mesh: Mesh | None = None):
+    """Build a jitted eval step returning REPLICATED (correct, total) counts.
+
+    Unlike :func:`make_eval_step` (which returns data-sharded logits — not
+    fully addressable under multi-process JAX, so a host-side np.asarray
+    would throw), the counts are psum'd over the mesh inside shard_map and
+    come back replicated: every host can read them locally. `batch["mask"]`
+    is a per-example {0,1} validity row (padding rows of the final partial
+    batch carry 0, reproducing the nvalid-slicing semantics on device).
+    """
+
+    def local_count(state: TrainState, batch: dict):
+        logits, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *_model_inputs(batch, task), train=False)
+        pred = jnp.argmax(logits, -1)
+        mask = batch["mask"].astype(jnp.float32)
+        if task == "cls":
+            correct = jnp.sum((pred == batch["label"]) * mask)
+            total = jnp.sum(mask)
+        else:
+            correct = jnp.sum((pred == batch["seg"]) * mask[:, None])
+            total = jnp.sum(mask) * logits.shape[1]
+        if mesh is not None:
+            correct = jax.lax.psum(correct, DATA_AXIS)
+            total = jax.lax.psum(total, DATA_AXIS)
+        return correct, total
+
+    if mesh is None:
+        return jax.jit(local_count)
+
+    sharded = jax.shard_map(
+        local_count, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(sharded, in_shardings=(repl, data),
+                   out_shardings=(repl, repl))
+
+
 def make_eval_step(model, task: str = "cls", mesh: Mesh | None = None):
     """Build the jitted eval step: (state, batch) -> logits (replicated math,
     batch sharded over the mesh)."""

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointnet2_tpu.models import MODEL_REGISTRY
+from pointnet2_tpu.parallel import multihost
 from pointnet2_tpu.parallel.mesh import make_mesh, shard_batch
 from pointnet2_tpu.train import checkpoint as ckpt
 from pointnet2_tpu.train.schedules import (
@@ -32,10 +33,12 @@ from pointnet2_tpu.train.schedules import (
 )
 from pointnet2_tpu.train.state import TrainState, make_optimizer
 from pointnet2_tpu.train.steps import (
+    make_eval_count_step,
     make_eval_step,
     make_train_multi_step,
     make_train_step,
 )
+from pointnet2_tpu.utils.prefetch import Prefetcher
 
 
 @dataclass
@@ -58,6 +61,8 @@ class TrainConfig:
     num_devices: int | None = None
     log_dir: str = "log"
     ckpt_every_epochs: int = 10
+    eval_every: int = 1  # epochs between evals (scannet/train.py:167 uses 5)
+    prefetch: int = 2  # host batches loaded ahead of device dispatch
     seed: int = 0
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
     model_kwargs: dict = field(default_factory=dict)
@@ -98,33 +103,52 @@ class Trainer:
                 task=self.task, mesh=self.mesh, augment=config.augment)
         self.eval_step = make_eval_step(self.model, task=self.task,
                                         mesh=self.mesh)
+        self.eval_count_step = make_eval_count_step(self.model, task=self.task,
+                                                    mesh=self.mesh)
+        self._local_eval_step = None  # built lazily for multihost protocols
         self._rng = jax.random.PRNGKey(config.seed)
         os.makedirs(config.log_dir, exist_ok=True)
         self._snapshot_sources()
-        self._log_file = open(os.path.join(config.log_dir, "log_train.txt"), "a")
-        self._metrics_file = open(
-            os.path.join(config.log_dir, "metrics.jsonl"), "a")
+        # only the primary process touches the shared log dir (N hosts
+        # appending to one file interleave/tear writes)
+        sink = (os.path.join(config.log_dir, "log_train.txt")
+                if multihost.is_primary() else os.devnull)
+        self._log_file = open(sink, "a")
+        sink = (os.path.join(config.log_dir, "metrics.jsonl")
+                if multihost.is_primary() else os.devnull)
+        self._metrics_file = open(sink, "a")
 
     def _snapshot_sources(self) -> None:
         """Snapshot the run's provenance into the log dir: the model source
         file and driver script (the reference copies both, train.py:56-57)
         plus the fully-resolved config as JSON (the reference has no config
-        record beyond argv in the log)."""
+        record beyond argv in the log). Primary process only; config.json
+        is never overwritten, so the original run's record survives resume
+        (log_train.txt/metrics.jsonl append for the same reason)."""
+        if not multihost.is_primary():
+            return
         cfg = self.config
-        for src in (inspect.getsourcefile(type(self.model)),
-                    getattr(sys.modules.get("__main__"), "__file__", None)):
+        main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+        if main_file and os.path.basename(main_file) == "__main__.py":
+            # `python -m tool` launchers: __main__.py is the launcher's,
+            # not a driver script worth snapshotting
+            main_file = None
+        for src in (inspect.getsourcefile(type(self.model)), main_file):
             if src and os.path.isfile(src):
                 dst = os.path.join(cfg.log_dir, os.path.basename(src))
                 if os.path.abspath(src) != os.path.abspath(dst):
                     shutil.copyfile(src, dst)
-        with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
-            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+        cfg_path = os.path.join(cfg.log_dir, "config.json")
+        if not os.path.exists(cfg_path):
+            with open(cfg_path, "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     # ------------------------------------------------------------------
     def log(self, msg: str) -> None:
-        print(msg, flush=True)
-        self._log_file.write(msg + "\n")
-        self._log_file.flush()
+        if multihost.is_primary():
+            print(msg, flush=True)
+            self._log_file.write(msg + "\n")
+            self._log_file.flush()
 
     def log_metrics(self, **kv: Any) -> None:
         self._metrics_file.write(json.dumps(kv) + "\n")
@@ -151,14 +175,18 @@ class Trainer:
 
         return jax.device_put(state, replicated_sharding(self.mesh))
 
-    def maybe_restore(self, state: TrainState) -> TrainState:
-        if ckpt.latest_step(self.config.log_dir) is not None:
+    def maybe_restore(self, state: TrainState):
+        """Returns (state, meta) — meta is the checkpoint's sidecar record
+        ({"step", "epoch"}) or None when starting fresh."""
+        meta = ckpt.load_meta(self.config.log_dir)
+        if meta is not None:
             state = ckpt.restore_checkpoint(self.config.log_dir, state)
-            self.log(f"restored checkpoint at step {int(state.step)}")
+            self.log(f"restored checkpoint at step {int(state.step)} "
+                     f"(epoch {meta.get('epoch')})")
             from pointnet2_tpu.parallel.mesh import replicated_sharding
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
-        return state
+        return state, meta
 
     # ------------------------------------------------------------------
     def train_epoch(self, state: TrainState, dataset, epoch: int):
@@ -194,13 +222,20 @@ class Trainer:
             buf = []
             return state
 
+        # Hosts must dispatch the same number of lockstep steps; with
+        # host-sharded data the remainder host may own extra batches —
+        # agree on the min and skip its surplus tail (see sync_num_batches).
+        num_steps = multihost.sync_num_batches(dataset.num_batches(), "min")
+        loader = Prefetcher(dataset.epoch(augment=self.config.host_augment),
+                            depth=self.config.prefetch)
         t0 = time.time()
-        for batch in dataset.epoch(augment=self.config.host_augment):
+        for _, batch in zip(range(num_steps), loader):
             buf.append(batch)
             n += batch["nvalid"]
             if len(buf) == K:
                 state = flush(state)
         state = flush(state)
+        loader.close()
         dt = time.time() - t0
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
@@ -216,47 +251,111 @@ class Trainer:
 
     def eval_epoch(self, state: TrainState, dataset, epoch: int) -> float:
         """Padded-batch-aware accuracy (the reference re-feeds stale rows in
-        the final partial batch and reports them, train.py:255-271)."""
-        correct = total = 0
-        loss_sum = 0.0
-        for batch in dataset.epoch(augment=False):
-            device_batch = shard_batch(self.mesh, self._device_view(batch))
-            logits = np.asarray(self.eval_step(state, device_batch))
-            nv = batch["nvalid"]
-            if self.task == "cls":
-                pred = logits[:nv].argmax(-1)
-                correct += int((pred == batch["label"][:nv]).sum())
-                total += nv
+        the final partial batch and reports them, train.py:255-271; here
+        padding rows carry mask=0 and are excluded on device).
+
+        Multi-host safe: the counts come back replicated from a psum (no
+        host-side slicing of a cross-host sharded array), and hosts with
+        fewer eval batches feed zero-masked padding batches so every host
+        dispatches the same lockstep step count.
+        """
+        correct = total = 0.0
+        num_steps = multihost.sync_num_batches(dataset.num_batches(), "max")
+        loader = Prefetcher(dataset.epoch(augment=False),
+                            depth=self.config.prefetch)
+        template = None
+        for _ in range(num_steps):
+            batch = next(loader, None)
+            if batch is None:  # this host exhausted; keep lockstep
+                assert template is not None, "empty eval shard on this host"
+                batch = {k: np.zeros_like(v) if isinstance(v, np.ndarray)
+                         else 0 for k, v in template.items()}
             else:
-                pred = logits[:nv].argmax(-1)
-                correct += int((pred == batch["seg"][:nv]).sum())
-                total += int(np.prod(batch["seg"][:nv].shape))
-        acc = correct / max(total, 1)
+                template = batch
+            nv = batch["nvalid"]
+            device_batch = self._device_view(batch)
+            bsz = device_batch["points"].shape[0]
+            device_batch["mask"] = (np.arange(bsz) < nv).astype(np.float32)
+            device_batch = shard_batch(self.mesh, device_batch)
+            c, t = self.eval_count_step(state, device_batch)
+            correct += float(c)
+            total += float(t)
+        loader.close()
+        acc = correct / max(total, 1.0)
         self.log(f"epoch {epoch}: eval accuracy {acc:.4f}")
         self.log_metrics(epoch=epoch, split="eval", accuracy=acc)
         return acc
 
     # ------------------------------------------------------------------
+    def eval_logits_fn(self, state: TrainState):
+        """Host-batch -> numpy logits closure for protocol evaluations
+        (vote ensembling, ScanNet whole-scene) that need raw logits.
+
+        Single-process: the sharded eval step. Multi-process: protocol
+        evals iterate host-local data with host-dependent batch counts, so
+        lockstep global dispatch would deadlock — instead each host runs a
+        local jit (eval has no collectives) on its own default device and
+        the caller allreduces its metric counters across hosts.
+        """
+        model_keys = ("points", "cls_label")
+        if jax.process_count() == 1:
+            def fn(batch: dict) -> np.ndarray:
+                db = {k: v for k, v in batch.items() if k in model_keys}
+                return np.asarray(
+                    self.eval_step(state, shard_batch(self.mesh, db)))
+            return fn
+        if self._local_eval_step is None:
+            self._local_eval_step = make_eval_step(self.model, task=self.task,
+                                                   mesh=None)
+        host_state = jax.device_get(state)  # replicated -> local copy
+
+        def fn(batch: dict) -> np.ndarray:
+            db = {k: np.asarray(v) for k, v in batch.items()
+                  if k in model_keys}
+            return np.asarray(self._local_eval_step(host_state, db))
+        return fn
+
+    # ------------------------------------------------------------------
     def fit(self, train_dataset, eval_dataset=None,
-            max_epoch: int | None = None) -> TrainState:
+            max_epoch: int | None = None, eval_protocol=None) -> TrainState:
+        """Train with periodic eval and best-checkpoint tracking.
+
+        `eval_protocol(trainer, state, epoch) -> float`, when given,
+        replaces the plain eval accuracy as the best-model score (the
+        reference's scannet driver selects on calibrated whole-scene voxel
+        accuracy, scannet/train.py:167-174).
+        """
         max_epoch = max_epoch or self.config.max_epoch
         example = next(iter(train_dataset.epoch()))
         state = self.init_state(self._device_view(example))
-        state = self.maybe_restore(state)
-        start_epoch = int(state.step) // max(train_dataset.num_batches(), 1)
-        best_acc = -1.0
+        state, meta = self.maybe_restore(state)
+        if meta is None:
+            start_epoch = 0
+        elif meta.get("epoch") is not None:
+            start_epoch = int(meta["epoch"])
+        else:  # meta-less legacy checkpoint: fall back to deriving
+            start_epoch = int(state.step) // max(train_dataset.num_batches(), 1)
+        best_score = -1.0
+        every = max(1, self.config.eval_every)
         for epoch in range(start_epoch, max_epoch):
             state = self.train_epoch(state, train_dataset, epoch)
-            if eval_dataset is not None:
-                acc = self.eval_epoch(state, eval_dataset, epoch)
-                if acc > best_acc:
-                    best_acc = acc
+            want_eval = eval_dataset is not None or eval_protocol is not None
+            if want_eval and (epoch % every == 0 or epoch == max_epoch - 1):
+                if eval_protocol is not None:
+                    score = eval_protocol(self, state, epoch)
+                else:
+                    score = self.eval_epoch(state, eval_dataset, epoch)
+                if score > best_score:
+                    best_score = score
                     ckpt.save_checkpoint(self.config.log_dir, state,
-                                         name="best")
+                                         name="best", epoch=epoch + 1)
+                    self.log(f"epoch {epoch}: new best score {score:.4f}")
             if (epoch + 1) % self.config.ckpt_every_epochs == 0:
-                path = ckpt.save_checkpoint(self.config.log_dir, state)
+                path = ckpt.save_checkpoint(self.config.log_dir, state,
+                                            epoch=epoch + 1)
                 self.log(f"saved checkpoint to {path}")
         if start_epoch < max_epoch:
-            path = ckpt.save_checkpoint(self.config.log_dir, state)
+            path = ckpt.save_checkpoint(self.config.log_dir, state,
+                                        epoch=max_epoch)
             self.log(f"saved final checkpoint to {path}")
         return state

@@ -14,10 +14,55 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_fit(pid: int, nproc: int, log_dir: str) -> None:
+    """Full Trainer.fit loop across processes: train epochs with host-sharded
+    data (UNEVEN shards: the remainder host owns an extra batch, exercising
+    sync_num_batches), multi-host-safe eval (psum'd counts), process-0-gated
+    checkpointing, then resume from the checkpoint for one more epoch."""
+    import jax
+    import numpy as np
+
+    from pointnet2_tpu.data import SyntheticClassification
+    from pointnet2_tpu.data.modelnet import _host_slice
+    from pointnet2_tpu.train import TrainConfig, Trainer
+    from pointnet2_tpu.train import checkpoint as ckpt
+
+    local_batch = 8 // max(jax.process_count(), 1)
+
+    def make_ds(seed: int, n_total: int):
+        ds = SyntheticClassification(
+            num_classes=5, samples_per_class=n_total // 5, npoints=32,
+            batch_size=local_batch, seed=seed)
+        sl = _host_slice(len(ds), (pid, nproc) if nproc > 1 else None)
+        ds.data, ds.label = ds.data[sl], ds.label[sl]
+        return ds
+
+    # 25 items over 2 hosts -> 12 vs 13 items -> 3 vs 4 local batches
+    train_ds, eval_ds = make_ds(3, 25), make_ds(4, 25)
+
+    config = TrainConfig(model="pointnet_cls_basic", batch_size=8,
+                         max_epoch=2, ckpt_every_epochs=1, eval_every=1,
+                         log_dir=log_dir, augment="none", num_point=32)
+    trainer = Trainer(config)
+    state = trainer.fit(train_ds, eval_dataset=eval_ds)
+    acc = trainer.eval_epoch(state, eval_ds, epoch=98)
+
+    # resume: a fresh Trainer picks up the checkpoint (+ its epoch) and
+    # trains exactly one more epoch
+    trainer2 = Trainer(TrainConfig(**{**config.__dict__, "max_epoch": 3}))
+    state2 = trainer2.fit(train_ds, eval_dataset=eval_ds)
+    acc2 = trainer2.eval_epoch(state2, eval_ds, epoch=99)
+    meta = ckpt.load_meta(log_dir)
+    print(f"FIT_RESULT pid={pid} acc={acc:.6f} acc2={acc2:.6f} "
+          f"step={int(state2.step)} epoch={meta['epoch']}", flush=True)
+
+
 def main() -> None:
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
+    fit_log_dir = sys.argv[4] if len(sys.argv) > 4 else ""
     # 8 global devices regardless of layout: 2 processes x 4, or 1 x 8 —
     # the dropout fold over axis_index makes the loss depend on the GLOBAL
     # device count, so the single-process reference must also use 8
@@ -32,6 +77,10 @@ def main() -> None:
     if nproc > 1:
         multihost.initialize(f"localhost:{port}", nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
+
+    if mode == "fit":
+        run_fit(pid, nproc, fit_log_dir)
+        return
 
     import jax.numpy as jnp
     import numpy as np
