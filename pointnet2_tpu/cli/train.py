@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_whole_scene_eval", action="store_true",
                    help="sem_seg: skip the whole-scene sliding-block eval "
                         "and caliacc best-ckpt selection during training")
+    p.add_argument("--virtual_scan", action="store_true",
+                   help="sem_seg: train on 8-view virtual-scan samples "
+                        "instead of random crops "
+                        "(scannet_dataset.py:122-165)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed; --batch_size is the "
                         "GLOBAL batch, data is sharded per host")
@@ -132,21 +136,24 @@ def _make_datasets_sharded(args, shard):
                                  process_shard=shard)
         return train, test, "none"
     # sem_seg
-    if args.synthetic or args.data is None:
-        from pointnet2_tpu.data import ScannetDataset, make_synthetic_scenes
+    from pointnet2_tpu.data import ScannetDataset, ScannetDatasetVirtualScan
 
-        train = ScannetDataset(scenes=make_synthetic_scenes(4),
-                               npoints=args.num_point, split="train",
-                               batch_size=args.batch_size)
+    train_cls = (ScannetDatasetVirtualScan if getattr(args, "virtual_scan",
+                                                      False)
+                 else ScannetDataset)
+    if args.synthetic or args.data is None:
+        from pointnet2_tpu.data import make_synthetic_scenes
+
+        train = train_cls(scenes=make_synthetic_scenes(4),
+                          npoints=args.num_point, split="train",
+                          batch_size=args.batch_size)
         test = ScannetDataset(scenes=make_synthetic_scenes(2, seed=9),
                               npoints=args.num_point, split="test",
                               batch_size=args.batch_size)
         return train, test, "scannet"
-    from pointnet2_tpu.data import ScannetDataset
-
-    train = ScannetDataset(root=args.data, npoints=args.num_point,
-                           split="train", batch_size=args.batch_size,
-                           process_shard=shard)
+    train = train_cls(root=args.data, npoints=args.num_point,
+                      split="train", batch_size=args.batch_size,
+                      process_shard=shard)
     test = ScannetDataset(root=args.data, npoints=args.num_point,
                           split="test", batch_size=args.batch_size,
                           process_shard=shard)

@@ -65,6 +65,7 @@ class _ScannetBase:
         self.split = split
         self.batch_size = batch_size
         self._rng = np.random.default_rng(seed)
+        self._meta_cache: dict[int, tuple] = {}  # x-order/bounds, capped
         if split == "train":
             self.labelweights = compute_label_weights(self.semantic_labels_list)
         else:
@@ -84,108 +85,250 @@ class _ScannetBase:
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
 
+    def scene_meta(self, index: int):
+        """Cached (x_order, x_sorted, coordmin, coordmax) for the slab
+        prefilter; bounded so a 1000+-scene dataset doesn't hold a second
+        copy of every scene's order in memory."""
+        meta = self._meta_cache.get(index)
+        if meta is None:
+            pts = self.scene_points_list[index]
+            order = np.argsort(pts[:, 0], kind="stable").astype(np.int64)
+            meta = (order, pts[order, 0].copy(),
+                    pts.min(axis=0), pts.max(axis=0))
+            if len(self._meta_cache) >= 256:
+                self._meta_cache.pop(next(iter(self._meta_cache)))
+            self._meta_cache[index] = meta
+        return meta
+
+
+def _batched_items(items, batch_size: int, rng,
+                   input_dropout: bool = False) -> Iterator[dict]:
+    """Stack (points, seg, smpw) items into fixed-shape sem_seg batches.
+    `input_dropout` applies the reference's get_batch_wdp density
+    augmentation (scannet/train.py:181-197): per cloud, a random <=87.5%
+    of points are replaced by point 0 with their weight zeroed."""
+    buf = []
+
+    def emit(buf):
+        pts = np.stack([it[0] for it in buf])
+        seg = np.stack([it[1] for it in buf])
+        smpw = np.stack([it[2] for it in buf])
+        if input_dropout:
+            B, N = seg.shape
+            ratios = rng.random((B, 1)) * 0.875
+            drop = rng.random((B, N)) <= ratios
+            first_pt = np.repeat(pts[:, 0:1, :], N, axis=1)
+            first_lb = np.repeat(seg[:, 0:1], N, axis=1)
+            pts[drop] = first_pt[drop]
+            seg[drop] = first_lb[drop]
+            smpw[drop] = 0.0
+        (pts, seg, smpw), nvalid = _pad_batch([pts, seg, smpw], batch_size)
+        return {"points": pts.astype(np.float32),
+                "seg": seg.astype(np.int32),
+                "smpw": smpw.astype(np.float32), "nvalid": nvalid}
+
+    for item in items:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield emit(buf)
+            buf = []
+    if buf:
+        yield emit(buf)
+
 
 class ScannetDataset(_ScannetBase):
-    """Random-crop training sampler with occupancy/annotation retries."""
+    """Random-crop training sampler with occupancy/annotation acceptance.
 
-    def get_item(self, index: int):
-        point_set = self.scene_points_list[index]
-        semantic_seg = self.semantic_labels_list[index]
-        coordmax = point_set.max(axis=0)
-        coordmin = point_set.min(axis=0)
-        cur_point_set, cur_semantic_seg, mask = point_set, semantic_seg, None
-        for _ in range(10):
-            center = point_set[self._rng.integers(len(semantic_seg))]
-            curmin = center - [0.75, 0.75, 1.5]
-            curmax = center + [0.75, 0.75, 1.5]
-            curmin[2], curmax[2] = coordmin[2], coordmax[2]
-            choice = np.sum((point_set >= (curmin - 0.2))
-                            * (point_set <= (curmax + 0.2)), axis=1) == 3
-            cur_point_set = point_set[choice]
-            cur_semantic_seg = semantic_seg[choice]
-            if len(cur_semantic_seg) == 0:
+    Protocol (scannet/scannet_dataset.py:27-61): candidate crops are
+    1.5 x 1.5 m x full-height columns around random scene points; a crop is
+    accepted when >=70% of its (0.2 m-expanded) member points are annotated
+    and >=2% of the 31x31x62 voxel grid over its strict (0.01 m) interior is
+    occupied; up to 10 candidates are tried, the final one is used
+    regardless. npoints are resampled with replacement and weighted by the
+    class-balancing weights masked to the strict interior.
+
+    Redesigned host pipeline: the reference re-tests every scene point
+    against every retry box in python (the SURVEY §3.1 input bottleneck);
+    here candidates are scored against a cached x-sorted projection — a
+    binary-searched slab plus one vectorized y test — with early exit on
+    the first acceptance, and only the chosen crop's points are ever
+    gathered. :meth:`score_candidates` keeps the full (K, N) matrix
+    formulation as the executable protocol spec the fast path is tested
+    against. One divergence: if every candidate is empty the reference
+    would crash sampling from a zero-length crop; here the whole scene is
+    the fallback crop.
+    """
+
+    _HALF = np.array([0.75, 0.75, 1.5], np.float32)
+    _GRID = np.array([31.0, 31.0, 62.0])
+
+    @classmethod
+    def score_candidates(cls, pts: np.ndarray, seg: np.ndarray,
+                         centers: np.ndarray):
+        """Score candidate crop columns around `centers` in one broadcast
+        pass. Returns (expanded (K,N), strict (K,N), annotated (K,),
+        occupancy (K,)) per the reference's acceptance formulas."""
+        num_candidates = len(centers)
+        coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
+        lo = centers - cls._HALF
+        hi = centers + cls._HALF
+        lo[:, 2], hi[:, 2] = coordmin[2], coordmax[2]
+
+        # (K, N) membership. The column spans the scene's full z range, so
+        # the z conditions (z >= coordmin-margin, z <= coordmax+margin) are
+        # identically true — x/y tests alone are exact.
+        x, y = pts[:, 0], pts[:, 1]
+        expanded = ((x >= lo[:, :1] - 0.2) & (x <= hi[:, :1] + 0.2)
+                    & (y >= lo[:, 1:2] - 0.2) & (y <= hi[:, 1:2] + 0.2))
+        counts = expanded.sum(axis=1)
+        annotated = (expanded & (seg > 0)).sum(axis=1) / np.maximum(counts, 1)
+
+        # strict interior: strict ⊂ expanded, so test only expanded pairs
+        k_idx, p_idx = np.nonzero(expanded)
+        px, py = x[p_idx], y[p_idx]
+        s = ((px >= lo[k_idx, 0] - 0.01) & (px <= hi[k_idx, 0] + 0.01)
+             & (py >= lo[k_idx, 1] - 0.01) & (py <= hi[k_idx, 1] + 0.01))
+        strict = np.zeros_like(expanded)
+        strict[k_idx[s], p_idx[s]] = True
+
+        # occupancy: unique voxels of each candidate's strict interior, all
+        # candidates at once (keys offset per candidate stay disjoint)
+        ks, ps = k_idx[s], p_idx[s]
+        v = np.ceil((pts[ps] - lo[ks]) / (hi[ks] - lo[ks]) * cls._GRID)
+        keys = (v[:, 0] * cls._GRID[1] + v[:, 1]) * cls._GRID[2] + v[:, 2]
+        nvox = int(cls._GRID.prod())
+        uniq = np.unique(ks * (nvox * 4) + keys.astype(np.int64))
+        occ_counts = np.bincount(uniq // (nvox * 4), minlength=num_candidates)
+        occupancy = occ_counts / float(nvox)
+        return expanded, strict, annotated, occupancy
+
+    def _score_one(self, pts, seg, center, meta):
+        """Score a single candidate column using the x-sorted slab
+        prefilter. Returns (member point ids, strict mask over members,
+        annotated fraction, voxel occupancy). Bound arithmetic matches
+        :meth:`score_candidates` operation-for-operation so the two paths
+        are bitwise consistent."""
+        order, x_sorted, coordmin, coordmax = meta
+        lo = center - self._HALF
+        hi = center + self._HALF
+        lo[2], hi[2] = coordmin[2], coordmax[2]
+
+        # x slab via binary search, then the y test on the slab only
+        l = np.searchsorted(x_sorted, lo[0] - 0.2, "left")
+        r = np.searchsorted(x_sorted, hi[0] + 0.2, "right")
+        cand = order[l:r]
+        y = pts[cand, 1]
+        member = cand[(y >= lo[1] - 0.2) & (y <= hi[1] + 0.2)]
+        if len(member) == 0:
+            return member, member.astype(bool), 0.0, 0.0
+        annotated = float(np.mean(seg[member] > 0))
+
+        px, py = pts[member, 0], pts[member, 1]
+        strict = ((px >= lo[0] - 0.01) & (px <= hi[0] + 0.01)
+                  & (py >= lo[1] - 0.01) & (py <= hi[1] + 0.01))
+        v = np.ceil((pts[member[strict]] - lo) / (hi - lo) * self._GRID)
+        keys = (v[:, 0] * self._GRID[1] + v[:, 1]) * self._GRID[2] + v[:, 2]
+        occupancy = len(np.unique(keys)) / float(self._GRID.prod())
+        return member, strict, annotated, occupancy
+
+    def get_item(self, index: int, num_candidates: int = 10):
+        pts = self.scene_points_list[index]  # (N, 3)
+        seg = self.semantic_labels_list[index]  # (N,)
+        meta = self.scene_meta(index)
+
+        centers = pts[self._rng.integers(len(pts), size=num_candidates)]
+        chosen = last_nonempty = None
+        for k in range(num_candidates):  # early exit on first acceptance,
+            member, strict, annotated, occupancy = self._score_one(
+                pts, seg, centers[k].copy(), meta)  # like the reference scan
+            if len(member) == 0:
                 continue
-            mask = np.sum((cur_point_set >= (curmin - 0.01))
-                          * (cur_point_set <= (curmax + 0.01)), axis=1) == 3
-            vidx = np.ceil((cur_point_set[mask] - curmin)
-                           / (curmax - curmin) * [31.0, 31.0, 62.0])
-            vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0
-                             + vidx[:, 2])
-            annotated = np.sum(cur_semantic_seg > 0) / len(cur_semantic_seg)
-            occupancy = len(vidx) / (31.0 * 31.0 * 62.0)
+            last_nonempty = (member, strict)
             if annotated >= 0.7 and occupancy >= 0.02:
+                chosen = last_nonempty
                 break
-        if mask is None:  # degenerate scene
-            mask = np.ones(len(cur_semantic_seg), bool)
-        choice = self._rng.choice(len(cur_semantic_seg), self.npoints,
-                                  replace=True)
-        point_set = cur_point_set[choice]
-        semantic_seg = cur_semantic_seg[choice]
-        sample_weight = self.labelweights[semantic_seg] * mask[choice]
-        return point_set, semantic_seg, sample_weight.astype(np.float32)
+        if chosen is None:
+            chosen = last_nonempty
+        if chosen is None:  # degenerate scene: no candidate saw any point
+            member = np.arange(len(pts))
+            strict = np.ones(len(pts), bool)
+        else:
+            member, strict = chosen
+        sel_local = self._rng.integers(len(member), size=self.npoints)
+        sel = member[sel_local]
+        weight = self.labelweights[seg[sel]] * strict[sel_local]
+        return pts[sel], seg[sel], weight.astype(np.float32)
 
     def epoch(self, augment: bool = False,
               input_dropout: bool = True) -> Iterator[dict]:
         """Yield fixed-shape batches; `input_dropout` applies the reference's
         get_batch_wdp density augmentation (scannet/train.py:181-197)."""
         order = self._rng.permutation(len(self))
-        for start in range(0, len(self), self.batch_size):
-            sel = order[start:start + self.batch_size]
-            items = [self.get_item(i) for i in sel]
-            pts = np.stack([it[0] for it in items])
-            seg = np.stack([it[1] for it in items])
-            smpw = np.stack([it[2] for it in items])
-            if input_dropout and self.split == "train":
-                B, N = seg.shape
-                ratios = self._rng.random((B, 1)) * 0.875
-                drop = self._rng.random((B, N)) <= ratios
-                first_pt = np.repeat(pts[:, 0:1, :], N, axis=1)
-                first_lb = np.repeat(seg[:, 0:1], N, axis=1)
-                pts[drop] = first_pt[drop]
-                seg[drop] = first_lb[drop]
-                smpw[drop] = 0.0
-            (pts, seg, smpw), nvalid = _pad_batch([pts, seg, smpw],
-                                                  self.batch_size)
-            yield {"points": pts.astype(np.float32), "seg": seg.astype(np.int32),
-                   "smpw": smpw.astype(np.float32), "nvalid": nvalid}
+        wdp = input_dropout and self.split == "train"
+        yield from _batched_items(
+            (self.get_item(i) for i in order), self.batch_size, self._rng,
+            input_dropout=wdp)
 
 
 class ScannetDatasetWholeScene(_ScannetBase):
     """Tile each scene into 1.5 m x/y columns; one npoints sample per
-    non-empty block. get_item returns (nblocks, npoints, ...) arrays."""
+    non-empty block. get_item returns (nblocks, npoints, ...) arrays.
+
+    Protocol (scannet/scannet_dataset.py:83-118): a block's member points
+    lie within its x/y bounds expanded by 0.2 m (full z range); npoints are
+    resampled with replacement per block; the block is kept when >=1% of the
+    sampled points fall in the strict (0.001 m) interior, which also masks
+    the weights.
+
+    Redesigned host pipeline: instead of an O(nx*ny*N) python double loop
+    re-testing every point against every block, points are binned to their
+    (at most 4, from the 0.2 m overlap) owning blocks in one vectorized
+    pass, grouped with a single argsort, and only the small per-block
+    sampling remains a loop. Points exactly ON an expanded-box boundary
+    (measure-zero for real scan floats) may bin differently than the
+    reference's closed-interval test.
+    """
+
+    @staticmethod
+    def block_members(pts: np.ndarray, coordmin: np.ndarray,
+                      nx: int, ny: int) -> np.ndarray:
+        """(block_id, point_id) pairs, sorted by block, for the expanded
+        (0.2 m-overlap) membership test — each point lands in at most 4
+        blocks: floor((d -/+ 0.2)/1.5) on each axis."""
+        xy = pts[:, :2] - coordmin[:2]
+        blo = np.floor((xy - 0.2) / 1.5).astype(np.int64)  # (N, 2)
+        bhi = np.floor((xy + 0.2) / 1.5).astype(np.int64)
+        pairs = []
+        pid = np.arange(len(pts), dtype=np.int64)
+        for bx in (blo[:, 0], bhi[:, 0]):
+            for by in (blo[:, 1], bhi[:, 1]):
+                keep = (bx >= 0) & (bx < nx) & (by >= 0) & (by < ny)
+                pairs.append(np.stack([(bx * ny + by)[keep], pid[keep]], 1))
+        return np.unique(np.concatenate(pairs), axis=0)  # sorted by block
 
     def get_item(self, index: int):
-        point_set_ini = self.scene_points_list[index]
-        seg_ini = self.semantic_labels_list[index]
-        coordmax = point_set_ini.max(axis=0)
-        coordmin = point_set_ini.min(axis=0)
+        pts = self.scene_points_list[index]
+        seg = self.semantic_labels_list[index]
+        coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
         nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5))
         ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5))
+        pairs = self.block_members(pts, coordmin, nx, ny)
+        block_ids, starts = np.unique(pairs[:, 0], return_index=True)
+        ends = np.append(starts[1:], len(pairs))
         point_sets, segs, weights = [], [], []
-        for i in range(nx):
-            for j in range(ny):
-                curmin = coordmin + [i * 1.5, j * 1.5, 0]
-                curmax = coordmin + [(i + 1) * 1.5, (j + 1) * 1.5,
-                                     coordmax[2] - coordmin[2]]
-                choice = np.sum((point_set_ini >= (curmin - 0.2))
-                                * (point_set_ini <= (curmax + 0.2)), axis=1) == 3
-                cur_point_set = point_set_ini[choice]
-                cur_seg = seg_ini[choice]
-                if len(cur_seg) == 0:
-                    continue
-                mask = np.sum((cur_point_set >= (curmin - 0.001))
-                              * (cur_point_set <= (curmax + 0.001)), axis=1) == 3
-                sample = self._rng.choice(len(cur_seg), self.npoints,
-                                          replace=True)
-                ps = cur_point_set[sample]
-                sg = cur_seg[sample]
-                msk = mask[sample]
-                if msk.sum() / float(len(msk)) < 0.01:
-                    continue
-                w = self.labelweights[sg] * msk
-                point_sets.append(ps)
-                segs.append(sg)
-                weights.append(w.astype(np.float32))
+        for b, s, e in zip(block_ids, starts, ends):
+            member = pairs[s:e, 1]
+            sel = member[self._rng.integers(e - s, size=self.npoints)]
+            curmin = coordmin + [(b // ny) * 1.5, (b % ny) * 1.5, 0]
+            curmax = np.array([curmin[0] + 1.5, curmin[1] + 1.5, coordmax[2]])
+            ps = pts[sel]
+            msk = ((ps >= curmin - 0.001) & (ps <= curmax + 0.001)).all(-1)
+            if msk.mean() < 0.01:
+                continue
+            point_sets.append(ps)
+            segs.append(seg[sel])
+            weights.append((self.labelweights[seg[sel]] * msk
+                            ).astype(np.float32))
         return (np.stack(point_sets), np.stack(segs), np.stack(weights))
 
     def blocks(self) -> Iterator[tuple]:
@@ -198,25 +341,64 @@ class ScannetDatasetWholeScene(_ScannetBase):
 
 
 class ScannetDatasetVirtualScan(_ScannetBase):
-    """8 virtual camera scans per scene via ray-cast visibility."""
+    """8 virtual camera scans per scene via ray-cast visibility
+    (scannet/scannet_dataset.py:122-165 + scene_util.py): each scene yields
+    up to 8 views — the points visible from a virtual camera at one of 8
+    horizontal orientations — each resampled to npoints; views seeing <300
+    points are dropped. The ray cast runs once per scene and is cached, so
+    epochs after the first pay only the resampling cost."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._scan_cache: dict[int, list[np.ndarray]] = {}
+
+    def view_indices(self, index: int) -> list[np.ndarray]:
+        """Visible-point index sets of the >=300-point views of a scene."""
+        if index not in self._scan_cache:
+            from pointnet2_tpu.utils.scene_util import virtual_scan
+
+            views = []
+            for mode in range(8):
+                smpidx = virtual_scan(self.scene_points_list[index],
+                                      mode=mode)
+                if len(smpidx) >= 300:
+                    views.append(smpidx)
+            self._scan_cache[index] = views
+        return self._scan_cache[index]
+
+    def _sample_view(self, index: int, smpidx: np.ndarray):
+        idx = smpidx[self._rng.integers(len(smpidx), size=self.npoints)]
+        seg = self.semantic_labels_list[index][idx]
+        return (self.scene_points_list[index][idx], seg,
+                self.labelweights[seg].astype(np.float32))
 
     def get_item(self, index: int):
-        from pointnet2_tpu.utils.scene_util import virtual_scan
+        views = [self._sample_view(index, s)
+                 for s in self.view_indices(index)]
+        return (np.stack([v[0] for v in views]),
+                np.stack([v[1] for v in views]),
+                np.stack([v[2] for v in views]))
 
-        point_set_ini = self.scene_points_list[index]
-        seg_ini = self.semantic_labels_list[index]
-        weight_ini = self.labelweights[seg_ini]
-        point_sets, segs, weights = [], [], []
-        for mode in range(8):
-            smpidx = virtual_scan(point_set_ini, mode=mode)
-            if len(smpidx) < 300:
-                continue
-            sel = self._rng.choice(len(smpidx), self.npoints, replace=True)
-            idx = smpidx[sel]
-            point_sets.append(point_set_ini[idx])
-            segs.append(seg_ini[idx])
-            weights.append(weight_ini[idx].astype(np.float32))
-        return (np.stack(point_sets), np.stack(segs), np.stack(weights))
+    def _all_views(self) -> list[tuple[int, int]]:
+        return [(i, v) for i in range(len(self))
+                for v in range(len(self.view_indices(i)))]
+
+    def num_batches(self) -> int:
+        return -(-len(self._all_views()) // self.batch_size)
+
+    def epoch(self, augment: bool = False,
+              input_dropout: bool = True) -> Iterator[dict]:
+        """Training epochs over the flattened (scene, view) pairs, in the
+        standard sem_seg batch format (so the Trainer/CLI can consume the
+        virtual-scan sampler exactly like the crop sampler)."""
+        pairs = self._all_views()
+        order = self._rng.permutation(len(pairs))
+        wdp = input_dropout and self.split == "train"
+        items = (self._sample_view(pairs[k][0],
+                                   self.view_indices(pairs[k][0])[pairs[k][1]])
+                 for k in order)
+        yield from _batched_items(items, self.batch_size, self._rng,
+                                  input_dropout=wdp)
 
 
 def make_synthetic_scenes(num_scenes: int = 4, points_per_scene: int = 20000,

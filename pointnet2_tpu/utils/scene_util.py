@@ -54,32 +54,35 @@ def virtual_scan(xyz: np.ndarray, mode: int = -1,
     vt = np.cross(hr, ct)
     vt /= np.linalg.norm(vt)
 
-    # Ray lattice in spherical coords (all rays have the same azimuth grid
-    # because vt/ct/hr form an orthonormal camera frame).
+    # Ray lattice: a regular (gx, gy) grid in the camera's tangent plane.
     xs = np.linspace(-_XLIM, _XLIM, _NX)
     ys = np.linspace(-_YLIM, _YLIM, _NY)
     gx, gy = np.meshgrid(xs, ys)
     rays = (gx.reshape(-1, 1) * hr + gy.reshape(-1, 1) * vt + ct)
     rays_aer = cart2sph(rays)
+    ray_az = rays_aer[:, 0].reshape(_NY, _NX)
+    ray_el = rays_aer[:, 1].reshape(_NY, _NX)
 
     local = xyz - camloc
     local_aer = cart2sph(local)
 
-    # nearest ray per point in (az, el) — brute-force is O(N*R); instead
-    # exploit the lattice: nearest grid sample in each spherical axis.
-    # The lattice is not exactly separable in (az, el), so do a windowed
-    # search: coarse cell from separable inversion, refine over neighbors.
-    ray_az = rays_aer[:, 0].reshape(_NY, _NX)
-    ray_el = rays_aer[:, 1].reshape(_NY, _NX)
-    # columns share azimuth ordering along x; rows share elevation along y
-    az_cols = ray_az[_NY // 2]  # monotone in x
-    el_rows = ray_el[:, _NX // 2]  # monotone in y
-    ci = np.clip(np.searchsorted(az_cols, local_aer[:, 0]), 1, _NX - 1)
-    ci -= (local_aer[:, 0] - az_cols[ci - 1]
-           < az_cols[np.clip(ci, 0, _NX - 1)] - local_aer[:, 0])
-    ri = np.clip(np.searchsorted(el_rows, local_aer[:, 1]), 1, _NY - 1)
-    ri -= (local_aer[:, 1] - el_rows[ri - 1]
-           < el_rows[np.clip(ri, 0, _NY - 1)] - local_aer[:, 1])
+    # Nearest ray per point in (az, el) — brute force is O(N*R); instead
+    # invert the lattice exactly in the CAMERA FRAME (u/w, v/w are the
+    # point's tangent-plane coordinates; azimuth/elevation sorting breaks
+    # down for cameras looking near the ±pi seam, the tangent plane never
+    # does), then refine over a 3x3 window with the true angular metric.
+    u = local @ hr
+    v = local @ vt
+    w = local @ ct
+    in_front = w > 1e-9
+    wsafe = np.where(in_front, w, 1.0)
+    ci = np.clip(np.round((u / wsafe + _XLIM) / (2 * _XLIM / (_NX - 1))),
+                 0, _NX - 1).astype(np.int64)
+    ri = np.clip(np.round((v / wsafe + _YLIM) / (2 * _YLIM / (_NY - 1))),
+                 0, _NY - 1).astype(np.int64)
+
+    def ang_diff(a, b):  # wraps the azimuth seam
+        return (a - b + np.pi) % (2 * np.pi) - np.pi
 
     best_d = np.full(len(xyz), np.inf)
     best_idx = np.zeros(len(xyz), np.int64)
@@ -87,9 +90,9 @@ def virtual_scan(xyz: np.ndarray, mode: int = -1,
         for dc in (-1, 0, 1):
             r = np.clip(ri + dr, 0, _NY - 1)
             c = np.clip(ci + dc, 0, _NX - 1)
-            d = ((local_aer[:, 0] - ray_az[r, c]) ** 2
+            d = (ang_diff(local_aer[:, 0], ray_az[r, c]) ** 2
                  + (local_aer[:, 1] - ray_el[r, c]) ** 2)
-            upd = d < best_d
+            upd = in_front & (d < best_d)
             best_d[upd] = d[upd]
             best_idx[upd] = (r * _NX + c)[upd]
 

@@ -1,0 +1,242 @@
+"""ScanNet sampler semantics: the vectorized host pipelines must reproduce
+the reference's acceptance/membership formulas (scannet/scannet_dataset.py)
+exactly. The naive implementations below intentionally mirror the
+reference's per-candidate/per-block loops so any vectorization slip shows.
+"""
+
+import numpy as np
+import pytest
+
+from pointnet2_tpu.data.scannet import (
+    ScannetDataset,
+    ScannetDatasetVirtualScan,
+    ScannetDatasetWholeScene,
+    compute_label_weights,
+    make_synthetic_scenes,
+)
+
+
+def _naive_candidate_scores(pts, seg, centers):
+    """Reference acceptance math (scannet_dataset.py:36-53), one candidate
+    at a time."""
+    coordmin, coordmax = pts.min(0), pts.max(0)
+    out = []
+    for center in centers:
+        curmin = center - np.array([0.75, 0.75, 1.5])
+        curmax = center + np.array([0.75, 0.75, 1.5])
+        curmin[2], curmax[2] = coordmin[2], coordmax[2]
+        exp = np.sum((pts >= curmin - 0.2) * (pts <= curmax + 0.2), 1) == 3
+        cur_pts, cur_seg = pts[exp], seg[exp]
+        if len(cur_seg) == 0:
+            out.append((exp, np.zeros(len(pts), bool), 0.0, 0.0))
+            continue
+        mask = np.sum((cur_pts >= curmin - 0.01)
+                      * (cur_pts <= curmax + 0.01), 1) == 3
+        vidx = np.ceil((cur_pts[mask] - curmin) / (curmax - curmin)
+                       * [31.0, 31.0, 62.0])
+        vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0
+                         + vidx[:, 2])
+        annotated = np.sum(cur_seg > 0) / len(cur_seg)
+        occupancy = len(vidx) / (31.0 * 31.0 * 62.0)
+        strict_full = np.zeros(len(pts), bool)
+        strict_full[np.flatnonzero(exp)[mask]] = True
+        out.append((exp, strict_full, annotated, occupancy))
+    return out
+
+
+def test_crop_candidate_scoring_matches_reference_math():
+    gen = np.random.default_rng(0)
+    pts = gen.uniform(0, 4.0, (3000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.6
+    seg = (gen.random(3000) > 0.2).astype(np.int32) * gen.integers(
+        1, 21, 3000).astype(np.int32)
+    centers = pts[gen.integers(len(pts), size=10)].copy()
+
+    expanded, strict, annotated, occupancy = ScannetDataset.score_candidates(
+        pts, seg, centers.copy())
+    naive = _naive_candidate_scores(pts, seg, centers)
+    for k, (n_exp, n_strict, n_ann, n_occ) in enumerate(naive):
+        np.testing.assert_array_equal(expanded[k], n_exp, err_msg=f"cand {k}")
+        # the vectorized strict test is vs the full box; the reference masks
+        # within the expanded subset — identical because strict ⊂ expanded
+        np.testing.assert_array_equal(strict[k] & expanded[k], n_strict)
+        assert annotated[k] == pytest.approx(n_ann)
+        assert occupancy[k] == pytest.approx(n_occ)
+
+
+def test_crop_fast_path_matches_matrix_scoring():
+    """The slab/early-exit fast path must score candidates identically to
+    the (K, N)-matrix protocol spec."""
+    gen = np.random.default_rng(4)
+    pts = gen.uniform(0, 5.0, (8000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.6
+    seg = gen.integers(0, 21, 8000).astype(np.int32)
+    ds = ScannetDataset(scenes=[(pts, seg)], npoints=64, split="train")
+    meta = ds.scene_meta(0)
+    centers = pts[gen.integers(len(pts), size=16)].copy()
+
+    expanded, strict, annotated, occupancy = ScannetDataset.score_candidates(
+        pts, seg, centers.copy())
+    for k in range(len(centers)):
+        member, smask, ann, occ = ds._score_one(pts, seg, centers[k].copy(),
+                                                meta)
+        np.testing.assert_array_equal(np.sort(member),
+                                      np.flatnonzero(expanded[k]))
+        full = np.zeros(len(pts), bool)
+        full[member[smask]] = True
+        np.testing.assert_array_equal(full, strict[k])
+        assert ann == pytest.approx(annotated[k])
+        assert occ == pytest.approx(occupancy[k])
+
+
+def test_crop_sampler_output_contract():
+    scenes = make_synthetic_scenes(2, points_per_scene=5000, seed=1)
+    ds = ScannetDataset(scenes=scenes, npoints=512, split="train", seed=3)
+    pts, seg, smpw = ds.get_item(0)
+    assert pts.shape == (512, 3) and seg.shape == (512,)
+    assert smpw.shape == (512,) and smpw.dtype == np.float32
+    # weights follow the class-balancing table wherever the strict mask holds
+    w = compute_label_weights([s for _, s in scenes])
+    hit = smpw > 0
+    assert hit.any()
+    np.testing.assert_allclose(smpw[hit], w[seg[hit]], rtol=1e-6)
+    # an accepted crop spans at most the column extent (+ 0.2 margin each side)
+    assert pts[:, 0].max() - pts[:, 0].min() <= 1.5 + 0.4 + 1e-5
+    assert pts[:, 1].max() - pts[:, 1].min() <= 1.5 + 0.4 + 1e-5
+
+
+def _naive_block_members(pts, coordmin, coordmax, nx, ny):
+    """Reference tiling membership (scannet_dataset.py:88-114)."""
+    members = {}
+    for i in range(nx):
+        for j in range(ny):
+            curmin = coordmin + np.array([i * 1.5, j * 1.5, 0])
+            curmax = np.array([curmin[0] + 1.5, curmin[1] + 1.5, coordmax[2]])
+            choice = np.sum((pts >= curmin - 0.2) * (pts <= curmax + 0.2),
+                            1) == 3
+            if choice.any():
+                members[i * ny + j] = set(np.flatnonzero(choice))
+    return members
+
+
+def test_whole_scene_block_membership_matches_reference_math():
+    gen = np.random.default_rng(7)
+    pts = gen.uniform(0, 5.0, (4000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.5
+    coordmin, coordmax = pts.min(0), pts.max(0)
+    nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5))
+    ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5))
+
+    pairs = ScannetDatasetWholeScene.block_members(pts, coordmin, nx, ny)
+    got = {}
+    for b, p in pairs:
+        got.setdefault(int(b), set()).add(int(p))
+    assert got == _naive_block_members(pts, coordmin, coordmax, nx, ny)
+
+
+def test_whole_scene_get_item_blocks():
+    scenes = make_synthetic_scenes(1, points_per_scene=6000, seed=2)
+    ds = ScannetDatasetWholeScene(scenes=scenes, npoints=256, split="test")
+    pts, seg, smpw = ds.get_item(0)
+    assert pts.ndim == 3 and pts.shape[1:] == (256, 3)
+    assert seg.shape == pts.shape[:2] == smpw.shape
+    # every block's points stay within one 1.5 m (+0.2 margin) column
+    for b in range(pts.shape[0]):
+        assert pts[b, :, 0].max() - pts[b, :, 0].min() <= 1.5 + 0.4 + 1e-5
+        assert pts[b, :, 1].max() - pts[b, :, 1].min() <= 1.5 + 0.4 + 1e-5
+
+
+def test_virtual_scan_epoch_trains_like_crop_sampler():
+    scenes = make_synthetic_scenes(2, points_per_scene=30000, seed=5)
+    ds = ScannetDatasetVirtualScan(scenes=scenes, npoints=128, split="train",
+                                   batch_size=4, seed=11)
+    batches = list(ds.epoch())
+    assert len(batches) == ds.num_batches() > 0
+    for b in batches:
+        assert b["points"].shape == (4, 128, 3)
+        assert b["seg"].shape == (4, 128) and b["smpw"].shape == (4, 128)
+    # views are visibility subsets: every view has >=300 source points and
+    # at most 8 views per scene (scannet_dataset.py:122-165)
+    for i in range(len(ds)):
+        views = ds.view_indices(i)
+        assert 0 < len(views) <= 8
+        for v in views:
+            assert len(v) >= 300
+    # ray-cast caching: second epoch reuses the cache (fast path)
+    assert set(ds._scan_cache) == set(range(len(ds)))
+
+
+def test_virtual_scan_matches_bruteforce_visibility():
+    """The analytic lattice inversion must agree with the reference
+    semantics computed brute force: nearest ray over the FULL 200x150 grid
+    in (az, el) with seam wrapping, 0.01 rad gate, nearest-point-per-ray
+    z-buffer (scene_util.py:20-63). Mode 3 points the camera across the
+    azimuth quadrants; mode 4 looks along -x, straddling the ±pi seam."""
+    from pointnet2_tpu.utils import scene_util as su
+
+    gen = np.random.default_rng(2)
+    xyz = gen.uniform(0, 4.0, (4000, 3)).astype(np.float32)
+    xyz[:, 2] *= 0.75
+
+    for mode in (3, 4):
+        camloc = xyz.mean(axis=0)
+        camloc[2] = 1.5
+        az = np.pi / 4 * mode
+        camloc[:2] -= np.array([np.cos(az), np.sin(az)])
+        ct = np.array([np.cos(az), np.sin(az), 0.0])
+        hr = np.cross(ct, [0.0, 0.0, 1.0])
+        hr /= np.linalg.norm(hr)
+        vt = np.cross(hr, ct)
+        vt /= np.linalg.norm(vt)
+        gx, gy = np.meshgrid(np.linspace(-0.6, 0.6, 200),
+                             np.linspace(-0.45, 0.45, 150))
+        rays = gx.reshape(-1, 1) * hr + gy.reshape(-1, 1) * vt + ct
+        ra = su.cart2sph(rays)
+        la = su.cart2sph(xyz - camloc)
+
+        best_d = np.full(len(xyz), np.inf)
+        best_ray = np.zeros(len(xyz), np.int64)
+        for s in range(0, len(xyz), 512):  # chunked O(N*R) brute force
+            daz = np.abs(la[s:s + 512, 0:1] - ra[None, :, 0].reshape(1, -1))
+            daz = np.minimum(daz, 2 * np.pi - daz)
+            d = daz ** 2 + (la[s:s + 512, 1:2]
+                            - ra[None, :, 1].reshape(1, -1)) ** 2
+            best_d[s:s + 512] = d.min(1)
+            best_ray[s:s + 512] = d.argmin(1)
+        sub = np.sqrt(best_d) < 0.01
+        min_r = np.full(30000, np.inf)
+        np.minimum.at(min_r, best_ray[sub], la[sub, 2])
+        visible = np.flatnonzero(sub)[
+            la[sub, 2] <= min_r[best_ray[sub]]]
+
+        got = su.virtual_scan(xyz, mode=mode)
+        assert len(got) > 0
+        # identical up to distance ties on the 0.01 gate boundary
+        sym_diff = set(got) ^ set(visible)
+        assert len(sym_diff) <= max(2, len(visible) // 200), (
+            mode, len(sym_diff), len(visible))
+
+
+def test_crop_sampler_faster_than_naive():
+    """The vectorized sampler must actually fix the input bottleneck: >=2x
+    over a faithful naive reimplementation on a realistic scene size."""
+    import time
+
+    gen = np.random.default_rng(3)
+    pts = gen.uniform(0, 6.0, (200_000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.5
+    seg = gen.integers(0, 21, 200_000).astype(np.int32)
+    ds = ScannetDataset(scenes=[(pts, seg)], npoints=8192, split="train")
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        ds.get_item(0)
+    fast = (time.perf_counter() - t0) / 5
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        centers = pts[rng.integers(len(pts), size=10)]
+        _naive_candidate_scores(pts, seg, centers)
+    naive = (time.perf_counter() - t0) / 5
+    assert fast < naive, (fast, naive)

@@ -209,9 +209,11 @@ def test_virtual_scan_visibility():
     xyz[:, 2] *= 0.75  # room height 3m
     idx = virtual_scan(xyz, mode=2)
     assert idx.ndim == 1
-    if len(idx):
-        assert idx.max() < len(xyz)
-        assert len(np.unique(idx)) == len(idx)
+    # a dense room MUST be visible (this caught a searchsorted-on-
+    # descending-azimuth bug that returned 0 points for every mode)
+    assert len(idx) > 100
+    assert idx.max() < len(xyz)
+    assert len(np.unique(idx)) == len(idx)
 
 
 def test_voxel_label_fast_groups_by_voxel():
