@@ -133,12 +133,13 @@ class SyntheticShapeNetPart:
     parts are spatial quadrants of a blob shape."""
 
     def __init__(self, num_samples: int = 64, npoints: int = 512,
-                 batch_size: int = 8, shuffle: bool = True, seed: int = 0):
+                 batch_size: int = 8, shuffle: bool = True, seed: int = 0,
+                 categories: list[str] | None = None):
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
         gen = np.random.default_rng(seed + 3)
-        cats = list(SEG_CLASSES)
+        cats = list(categories) if categories else list(SEG_CLASSES)
         self.data, self.seg, self.cls = [], [], []
         for i in range(num_samples):
             cat = cats[i % len(cats)]

@@ -19,12 +19,12 @@ from pointnet2_tpu.cli import visualize as cli_visualize
 
 def test_cli_train_evaluate_visualize_serve(tmp_path):
     log_dir = str(tmp_path / "log")
-    np_pts = 128
+    np_pts = 64  # matches test_train/test_overfit shapes -> shared jit cache
 
     cli_train.main([
         "--model", "pointnet2_cls_ssg", "--synthetic",
         "--synthetic_size", "2", "--num_point", str(np_pts),
-        "--batch_size", "8", "--max_epoch", "2", "--eval_every", "1",
+        "--batch_size", "8", "--max_epoch", "1", "--eval_every", "1",
         "--log_dir", log_dir,
     ])
     assert os.path.isdir(os.path.join(log_dir, "ckpt"))

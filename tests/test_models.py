@@ -19,12 +19,15 @@ B, N = 2, 128
 
 
 def _init_and_apply(model, *args, train=False):
+    # jit both phases: eager flax dispatch pays per-op overhead (hundreds of
+    # ops), and the persistent compilation cache amortizes across runs
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, *args, train=train)
-    out, mutated = model.apply(
-        variables, *args, train=train,
-        rngs={"dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats"] if train else [])
+    variables = jax.jit(
+        lambda r, *a: model.init(r, *a, train=train))(rngs, *args)
+    out, mutated = jax.jit(
+        lambda v, *a: model.apply(
+            v, *a, train=train, rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"] if train else []))(variables, *args)
     return variables, out
 
 
@@ -63,8 +66,11 @@ def test_part_seg_msg_one_hot_forward(rng):
     cls_label = jnp.asarray(rng.randint(0, 16, (B,)).astype(np.int32))
     model = PointNet2PartSegMSGOneHot()
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, pc, cls_label, train=False)
-    (logits, _), = [model.apply(variables, pc, cls_label, train=False)]
+    variables = jax.jit(
+        lambda r, p, c: model.init(r, p, c, train=False))(rngs, pc, cls_label)
+    (logits, _), = [jax.jit(
+        lambda v, p, c: model.apply(v, p, c, train=False))(
+        variables, pc, cls_label)]
     assert logits[0].shape == (B, N, 50) if isinstance(logits, tuple) else True
 
 
@@ -73,12 +79,12 @@ def test_sem_seg_forward_and_weighted_loss(rng):
     # custom instance to keep CPU tests fast
     from pointnet2_tpu.models.sem_seg import PointNet2SemSeg
 
-    pc = jnp.asarray(rng.rand(B, 2048, 3).astype(np.float32))
+    pc = jnp.asarray(rng.rand(B, 1024, 3).astype(np.float32))
     model = PointNet2SemSeg(num_classes=21)
     _, (logits, _) = _init_and_apply(model, pc, train=True)
-    assert logits.shape == (B, 2048, 21)
-    labels = jnp.zeros((B, 2048), jnp.int32)
-    smpw = jnp.ones((B, 2048), jnp.float32)
+    assert logits.shape == (B, 1024, 21)
+    labels = jnp.zeros((B, 1024), jnp.int32)
+    smpw = jnp.ones((B, 1024), jnp.float32)
     loss = weighted_segmentation_loss(logits, labels, smpw)
     assert bool(jnp.isfinite(loss))
     # zero weights on half the points changes the loss normalization
@@ -98,10 +104,11 @@ def test_batch_stats_update_in_train_mode(rng):
     pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     model = get_model("pointnet2_cls_ssg")
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, pc, train=False)
-    (logits, _), mutated = model.apply(
-        variables, pc, train=True, bn_momentum=0.5,
-        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, pc)
+    (logits, _), mutated = jax.jit(lambda v, p: model.apply(
+        v, p, train=True, bn_momentum=0.5,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"]))(variables, pc)
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     changed = any(
@@ -113,18 +120,20 @@ def test_dropout_is_stochastic_in_train_mode(rng):
     pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     model = get_model("pointnet2_cls_ssg")
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, pc, train=False)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, pc)
+    train_fwd = jax.jit(lambda v, p, s: model.apply(
+        v, p, train=True, rngs={"dropout": jax.random.PRNGKey(s)},
+        mutable=["batch_stats"]))
 
     def fwd(seed):
-        (logits, _), _ = model.apply(
-            variables, pc, train=True, rngs={"dropout": jax.random.PRNGKey(seed)},
-            mutable=["batch_stats"])
+        (logits, _), _ = train_fwd(variables, pc, seed)
         return np.asarray(logits)
 
     assert not np.allclose(fwd(1), fwd(2))
     # eval mode is deterministic
-    l1, _ = model.apply(variables, pc, train=False)
-    l2, _ = model.apply(variables, pc, train=False)
+    eval_fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
+    l1, _ = eval_fwd(variables, pc)
+    l2, _ = eval_fwd(variables, pc)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
@@ -154,8 +163,9 @@ def test_bf16_model_forward(rng):
     pc = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
     model = PointNet2ClsSSG(dtype=jnp.bfloat16)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, pc, train=False)
-    (logits, _) = model.apply(variables, pc, train=False)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, pc)
+    (logits, _) = jax.jit(lambda v, p: model.apply(v, p, train=False))(
+        variables, pc)
     assert logits.dtype == jnp.float32  # logits promoted for the loss
     assert bool(jnp.isfinite(logits).all())
     # params stay f32

@@ -16,9 +16,9 @@ def _init_variables(model_name, num_point=128, in_channels=3, **kw):
     inputs = (dummy,)
     if spec.task == "part_seg_one_hot":
         inputs = (dummy, jnp.zeros((2,), jnp.int32))
-    return model.init({"params": jax.random.PRNGKey(0),
-                       "dropout": jax.random.PRNGKey(1)},
-                      *inputs, train=False)
+    return jax.jit(lambda r, *a: model.init(r, *a, train=False))(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, *inputs)
 
 
 def test_bucketed_batches_match_direct(rng):
@@ -32,11 +32,12 @@ def test_bucketed_batches_match_direct(rng):
     # bucket padding must not change a row's logits
     spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
     model = spec.cls()
-    direct, _ = model.apply(variables, jnp.asarray(pts[:8]), train=False)
+    apply = jax.jit(lambda v, p: model.apply(v, p, train=False))
+    direct, _ = apply(variables, jnp.asarray(pts[:8]))
     np.testing.assert_allclose(out[:8], np.asarray(direct, np.float32),
                                atol=1e-5, rtol=1e-5)
     # rows served in the padded tail chunk match a fresh direct call too
-    direct2, _ = model.apply(variables, jnp.asarray(pts[8:]), train=False)
+    direct2, _ = apply(variables, jnp.asarray(pts[8:]))
     np.testing.assert_allclose(out[8:], np.asarray(direct2, np.float32),
                                atol=1e-5, rtol=1e-5)
 

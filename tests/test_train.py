@@ -57,7 +57,7 @@ def test_train_step_runs_and_loss_decreases(tmp_path):
     losses = []
     import jax as _jax
 
-    for epoch in range(6):
+    for epoch in range(4):
         for batch in ds.epoch():
             tr._rng, rng = _jax.random.split(tr._rng)
             from pointnet2_tpu.parallel.mesh import shard_batch
@@ -66,7 +66,7 @@ def test_train_step_runs_and_loss_decreases(tmp_path):
             state, metrics = tr.train_step(state, db, rng)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
-    assert int(state.step) == 6 * ds.num_batches()
+    assert int(state.step) == 4 * ds.num_batches()
 
 
 def test_trainer_fit_and_eval(tmp_path):
@@ -149,7 +149,7 @@ def test_sharded_matches_single_device(tmp_path):
 
 
 def test_segmentation_task_train_step(tmp_path):
-    ds = SyntheticSegmentation(num_classes=5, num_samples=8, npoints=2048,
+    ds = SyntheticSegmentation(num_classes=5, num_samples=8, npoints=1024,
                                batch_size=8)
     tr = Trainer(TrainConfig(model="pointnet2_sem_seg", batch_size=8,
                              log_dir=str(tmp_path),
