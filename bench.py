@@ -36,6 +36,13 @@ import numpy as np
 
 BASELINE_CLOUDS_PER_SEC = 600.0
 
+# Roofline context (v5e single chip, benchmarks/kernels.py calibration):
+# MFU is achieved flops / MXU bf16 peak; hbm_gbps is XLA's bytes-accessed
+# estimate over wall time. A ~2M-param 1024-pt model is memory/latency
+# bound, so single-digit MFU is expected — the roofline columns exist so
+# "fast" is judged against the hardware, not only the estimated anchor.
+MXU_BF16_TFLOPS = 197.0
+
 BATCH = 32
 NPOINTS = 1024
 STEPS_PER_CALL = 25  # scan K steps per dispatch (trainer steps_per_call)
@@ -105,12 +112,23 @@ def main() -> None:
 
     clouds_per_sec = BATCH * STEPS_PER_CALL * MEASURE_CALLS / dt
     per_chip = clouds_per_sec / n_dev
-    print(json.dumps({
+    record = {
         "metric": "train_clouds_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "clouds/s/chip",
         "vs_baseline": round(per_chip / BASELINE_CLOUDS_PER_SEC, 3),
-    }))
+    }
+
+    from pointnet2_tpu.utils.profiling import compiled_cost
+    cost = compiled_cost(step, state, device_batches, key)
+    if cost is not None:
+        per_call_s = dt / MEASURE_CALLS
+        tflops = cost["flops"] / per_call_s / 1e12 / n_dev
+        record["achieved_tflops_per_chip"] = round(tflops, 3)
+        record["mfu"] = round(tflops / MXU_BF16_TFLOPS, 4)
+        record["hbm_gbps"] = round(
+            cost["bytes_accessed"] / per_call_s / 1e9 / n_dev, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

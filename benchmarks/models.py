@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointnet2_tpu.models import MODEL_REGISTRY
-from pointnet2_tpu.utils.profiling import time_op_loop
+from pointnet2_tpu.utils.profiling import compiled_cost, time_op_loop
+
+MXU_BF16_TFLOPS = 197.0  # v5e single-chip peak (benchmarks/kernels.py)
 
 # (model, batch, npoint, in_channels) at the reference's training configs
 CONFIGS = [
@@ -91,13 +93,26 @@ def bench_model(name: str, B: int, N: int, C: int,
     # meaningful instead of dividing by ~0
     fwd_s = max(fwd_s, 1e-5)
     step_s = max(step_s, 1e-5)
-    return {
+    row = {
         "batch": B, "npoint": N,
         "fwd_ms": round(fwd_s * 1e3, 3),
         "fwd_bwd_ms": round(step_s * 1e3, 3),
         "train_clouds_per_sec": round(B / step_s, 1),
         "eval_clouds_per_sec": round(B / fwd_s, 1),
     }
+    # Roofline placement (VERDICT r1 item 7): XLA's own flop/byte counts
+    # for the fwd+bwd program over measured device time -> achieved TFLOPs,
+    # MFU vs the MXU bf16 peak, and apparent HBM bandwidth. Shows *why*
+    # each model sits where it does: small-N clouds are memory/latency
+    # bound (low MFU, high GB/s), not MXU bound.
+    cost = compiled_cost(jax.jit(vag), pts)
+    if cost is not None:
+        tflops = cost["flops"] / step_s / 1e12
+        row["train_mfu"] = round(tflops / MXU_BF16_TFLOPS, 4)
+        row["train_tflops"] = round(tflops, 3)
+        row["train_hbm_gbps"] = round(
+            cost["bytes_accessed"] / step_s / 1e9, 1)
+    return row
 
 
 def main() -> None:

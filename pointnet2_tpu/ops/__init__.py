@@ -16,3 +16,7 @@ from pointnet2_tpu.ops.interpolate import (  # noqa: F401
     three_interpolate,
 )
 from pointnet2_tpu.ops.pooling import max_pool  # noqa: F401
+from pointnet2_tpu.ops.mesh import (  # noqa: F401
+    sample_mesh,
+    triangle_areas,
+)

@@ -83,6 +83,34 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 5) -> float:
     return times[len(times) // 2]
 
 
+def compiled_cost(jitted_fn, *args, **kwargs) -> dict | None:
+    """XLA's own cost model for a jitted call: {"flops", "bytes_accessed"}.
+
+    Grounds throughput numbers in the hardware (MFU, HBM GB/s) instead of
+    an external anchor: flops/bytes come from the backend's cost analysis
+    of the *optimized* HLO, so fusion and algebraic simplification are
+    already accounted for. Returns None when the backend exposes no cost
+    analysis (some PJRT plugins); callers should then omit the derived
+    columns rather than guess.
+    """
+    try:
+        analysis = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+    except Exception:
+        return None
+    if analysis is None:
+        return None
+    if isinstance(analysis, (list, tuple)):  # older JAX: one dict per device
+        analysis = analysis[0] if analysis else None
+    if not analysis:
+        return None
+    flops = float(analysis.get("flops", 0.0))
+    byts = float(analysis.get("bytes accessed",
+                              analysis.get("bytes_accessed", 0.0)))
+    if flops <= 0 and byts <= 0:
+        return None
+    return {"flops": flops, "bytes_accessed": byts}
+
+
 def time_op_loop(op, x, iters: int = 50, warmup: bool = True,
                  repeats: int = 3) -> float:
     """Per-iteration device time of `op(x)`, measured inside one jitted

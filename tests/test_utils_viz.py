@@ -128,3 +128,20 @@ def test_scannet_preprocessing_demo_and_labels(tmp_path, rng):
         scenes.append(name)
     assert collect_label_names(str(tmp_path), scenes) == [
         "chair", "sofa", "table"]
+
+
+def test_compiled_cost_matmul():
+    """compiled_cost reports XLA's flop count for a known-FLOPs matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.utils.profiling import compiled_cost
+
+    n = 128
+    f = jax.jit(lambda a, b: a @ b)
+    x = jnp.ones((n, n), jnp.float32)
+    cost = compiled_cost(f, x, x)
+    if cost is None:  # backend without cost analysis: helper must degrade
+        return
+    assert cost["flops"] >= 2 * n * n * n * 0.5  # allow backend accounting
+    assert cost["bytes_accessed"] > 0
