@@ -259,7 +259,7 @@ class Trainer:
         fewer eval batches feed zero-masked padding batches so every host
         dispatches the same lockstep step count.
         """
-        correct = total = 0.0
+        counts = []
         num_steps = multihost.sync_num_batches(dataset.num_batches(), "max")
         loader = Prefetcher(dataset.epoch(augment=False),
                             depth=self.config.prefetch)
@@ -277,10 +277,17 @@ class Trainer:
             bsz = device_batch["points"].shape[0]
             device_batch["mask"] = (np.arange(bsz) < nv).astype(np.float32)
             device_batch = shard_batch(self.mesh, device_batch)
-            c, t = self.eval_count_step(state, device_batch)
-            correct += float(c)
-            total += float(t)
+            # async dispatch: keep the per-batch count futures on device and
+            # fetch once after the loop — a float() here would force a full
+            # host<->device round trip (~40 ms on this transport) per batch,
+            # which dominated eval wall time (155 batches -> ~7 s/epoch).
+            counts.append(self.eval_count_step(state, device_batch))
         loader.close()
+        if counts:  # reduce on device, fetch two scalars (not 2*N)
+            correct = float(jnp.sum(jnp.stack([c for c, _ in counts])))
+            total = float(jnp.sum(jnp.stack([t for _, t in counts])))
+        else:
+            correct = total = 0.0
         acc = correct / max(total, 1.0)
         self.log(f"epoch {epoch}: eval accuracy {acc:.4f}")
         self.log_metrics(epoch=epoch, split="eval", accuracy=acc)
