@@ -118,7 +118,9 @@ def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
 
 
 def make_eval_count_step(model, task: str = "cls", mesh: Mesh | None = None):
-    """Build a jitted eval step returning REPLICATED (correct, total) counts.
+    """Build a jitted eval step returning REPLICATED counts:
+    (correct, total, per_class_correct, per_class_total) — the per-class
+    vectors feed avg-class accuracy (reference train.py:262-275).
 
     Unlike :func:`make_eval_step` (which returns data-sharded logits — not
     fully addressable under multi-process JAX, so a host-side np.asarray
@@ -134,16 +136,31 @@ def make_eval_count_step(model, task: str = "cls", mesh: Mesh | None = None):
             *_model_inputs(batch, task), train=False)
         pred = jnp.argmax(logits, -1)
         mask = batch["mask"].astype(jnp.float32)
+        C = logits.shape[-1]
         if task == "cls":
-            correct = jnp.sum((pred == batch["label"]) * mask)
+            label = batch["label"]
+            hit = (pred == label).astype(jnp.float32) * mask
+            onehot = jax.nn.one_hot(label, C, dtype=jnp.float32) * mask[:, None]
+            correct = jnp.sum(hit)
             total = jnp.sum(mask)
+            # per-class counts for avg-class accuracy (train.py:262-275)
+            cls_correct = hit @ onehot  # (B,) @ (B, C)
+            cls_total = jnp.sum(onehot, 0)
         else:
-            correct = jnp.sum((pred == batch["seg"]) * mask[:, None])
+            label = batch["seg"]
+            hit = (pred == label).astype(jnp.float32) * mask[:, None]
+            onehot = (jax.nn.one_hot(label, C, dtype=jnp.float32)
+                      * mask[:, None, None])
+            correct = jnp.sum(hit)
             total = jnp.sum(mask) * logits.shape[1]
+            cls_correct = jnp.einsum("bn,bnc->c", hit, onehot)
+            cls_total = jnp.sum(onehot, (0, 1))
         if mesh is not None:
             correct = jax.lax.psum(correct, DATA_AXIS)
             total = jax.lax.psum(total, DATA_AXIS)
-        return correct, total
+            cls_correct = jax.lax.psum(cls_correct, DATA_AXIS)
+            cls_total = jax.lax.psum(cls_total, DATA_AXIS)
+        return correct, total, cls_correct, cls_total
 
     if mesh is None:
         return jax.jit(local_count)
@@ -151,13 +168,13 @@ def make_eval_count_step(model, task: str = "cls", mesh: Mesh | None = None):
     sharded = jax.shard_map(
         local_count, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(sharded, in_shardings=(repl, data),
-                   out_shardings=(repl, repl))
+                   out_shardings=(repl, repl, repl, repl))
 
 
 def make_eval_step(model, task: str = "cls", mesh: Mesh | None = None):

@@ -241,8 +241,13 @@ class Trainer:
         acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
         self.log(f"epoch {epoch}: train loss {loss:.4f} acc {acc:.4f} "
                  f"({n / max(dt, 1e-9):.1f} ex/s)")
+        # schedule scalars, as the reference's TB summaries record
+        # (train.py:125-131: learning_rate, bn_decay)
+        step = int(state.step)
         self.log_metrics(epoch=epoch, split="train", loss=loss, accuracy=acc,
-                         examples_per_sec=n / max(dt, 1e-9))
+                         examples_per_sec=n / max(dt, 1e-9), step=step,
+                         learning_rate=float(self.lr_schedule(step)),
+                         bn_momentum=float(self.bn_schedule(step)))
         return state
 
     def _device_view(self, batch: dict) -> dict:
@@ -283,14 +288,24 @@ class Trainer:
             # which dominated eval wall time (155 batches -> ~7 s/epoch).
             counts.append(self.eval_count_step(state, device_batch))
         loader.close()
-        if counts:  # reduce on device, fetch two scalars (not 2*N)
-            correct = float(jnp.sum(jnp.stack([c for c, _ in counts])))
-            total = float(jnp.sum(jnp.stack([t for _, t in counts])))
+        if counts:  # reduce on device, fetch once (not 4*N round trips)
+            correct = float(jnp.sum(jnp.stack([c for c, _, _, _ in counts])))
+            total = float(jnp.sum(jnp.stack([t for _, t, _, _ in counts])))
+            cls_c = np.asarray(sum(c for _, _, c, _ in counts))
+            cls_t = np.asarray(sum(t for _, _, _, t in counts))
         else:
             correct = total = 0.0
+            cls_c = cls_t = np.zeros(1)
         acc = correct / max(total, 1.0)
+        # avg-class accuracy over classes present in the eval set
+        # (train.py:273-275 divides per-class; absent classes excluded)
+        present = cls_t > 0
+        avg_cls = float(np.mean(cls_c[present] / cls_t[present])) \
+            if present.any() else 0.0
         self.log(f"epoch {epoch}: eval accuracy {acc:.4f}")
-        self.log_metrics(epoch=epoch, split="eval", accuracy=acc)
+        self.log(f"epoch {epoch}: eval avg class acc {avg_cls:.4f}")
+        self.log_metrics(epoch=epoch, split="eval", accuracy=acc,
+                         avg_class_accuracy=avg_cls)
         return acc
 
     # ------------------------------------------------------------------

@@ -162,3 +162,35 @@ def test_segmentation_task_train_step(tmp_path):
     state, metrics = tr.train_step(state, db, jax.random.PRNGKey(0))
     assert bool(jnp.isfinite(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_eval_count_step_per_class_counts(tmp_path):
+    """Per-class counts: correct/total decompose exactly by label, and
+    avg-class accuracy lands in metrics.jsonl (reference train.py:262-275)."""
+    import numpy as np
+    from pointnet2_tpu.parallel.mesh import shard_batch
+
+    ds = SyntheticClassification(num_classes=4, samples_per_class=8,
+                                 npoints=64, batch_size=8)
+    tr = _make_trainer(tmp_path, max_epoch=1)
+    example = next(iter(ds.epoch()))
+    state = tr.init_state(tr._device_view(example))
+
+    batch = next(iter(ds.epoch()))
+    db = tr._device_view(batch)
+    db["mask"] = np.ones(db["points"].shape[0], np.float32)
+    db = shard_batch(tr.mesh, db)
+    c, t, cls_c, cls_t = tr.eval_count_step(state, db)
+    assert cls_c.shape == cls_t.shape == (40,)  # model's class count
+    np.testing.assert_allclose(float(c), float(np.sum(np.asarray(cls_c))))
+    np.testing.assert_allclose(float(t), float(np.sum(np.asarray(cls_t))))
+    # label histogram matches per-class totals
+    hist = np.bincount(np.asarray(batch["label"]), minlength=40)
+    np.testing.assert_array_equal(np.asarray(cls_t), hist.astype(np.float32))
+
+    tr.eval_epoch(state, ds, epoch=0)
+    rec = [json.loads(line)
+           for line in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    evals = [r for r in rec if r.get("split") == "eval"]
+    assert "avg_class_accuracy" in evals[-1]
+    assert 0.0 <= evals[-1]["avg_class_accuracy"] <= 1.0
