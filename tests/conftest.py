@@ -36,6 +36,17 @@ if not os.environ.get("RUN_TESTS_ON_TPU"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+if os.environ.get("RUN_TESTS_ON_TPU"):
+    # Remote Mosaic/XLA compiles (20-120 s each) dominate on-chip suite
+    # time; a persistent cache makes the periodic on-chip pass affordable.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
