@@ -58,6 +58,10 @@ def _rot(axis: str, deg: float) -> np.ndarray:
 
 
 class _Part:
+    """One surface patch: area weight + sampler(rng, n) -> (points,
+    outward unit normals), both (n, 3). Normals ride along so the txt
+    (xyz+normal) dataset variant costs nothing extra."""
+
     __slots__ = ("area", "fn")
 
     def __init__(self, area, fn):
@@ -65,15 +69,23 @@ class _Part:
         self.fn = fn
 
 
+def _perm(axis: str, x, y, z):
+    """Canonical z-frame components -> the sampler's axis frame (same
+    permutation the point samplers use)."""
+    return np.stack({"z": (x, y, z), "x": (z, x, y), "y": (x, z, y)}[axis], 1)
+
+
 def quad(origin, u, v) -> list[_Part]:
     """Rectangle origin + a*u + b*v, a,b in [0,1]."""
     origin, u, v = (np.asarray(x, np.float64) for x in (origin, u, v))
-    area = np.linalg.norm(np.cross(u, v))
+    cr = np.cross(u, v)
+    area = np.linalg.norm(cr)
+    normal = cr / max(area, 1e-12)
 
     def fn(rng, n):
         a = rng.random((n, 1))
         b = rng.random((n, 1))
-        return origin + a * u + b * v
+        return origin + a * u + b * v, np.broadcast_to(normal, (n, 3)).copy()
 
     return [_Part(area, fn)]
 
@@ -115,9 +127,8 @@ def disk(r, center=(0, 0, 0), axis="z", r_inner=0.0) -> list[_Part]:
         th = rng.uniform(0, 2 * np.pi, n)
         x, y = rad * np.cos(th), rad * np.sin(th)
         z = np.zeros(n)
-        pts = np.stack({"z": (x, y, z), "x": (z, x, y),
-                        "y": (x, z, y)}[axis], 1)
-        return c + pts
+        nrm = _perm(axis, z, z, np.ones(n))
+        return c + _perm(axis, x, y, z), nrm
 
     return [_Part(area, fn)]
 
@@ -142,9 +153,11 @@ def tube(r0, h, center=(0, 0, 0), r1=None, axis="z", caps="both") -> list[_Part]
         th = rng.uniform(0, 2 * np.pi, n)
         x, y = rad * np.cos(th), rad * np.sin(th)
         z = (t - 0.5) * h
-        pts = np.stack({"z": (x, y, z), "x": (z, x, y),
-                        "y": (x, z, y)}[axis], 1)
-        return c + pts
+        # frustum lateral normal: ([h cos, h sin, r0-r1]) / slant
+        s = max(slant, 1e-12)
+        nrm = _perm(axis, h / s * np.cos(th), h / s * np.sin(th),
+                    np.full(n, (r0 - r1) / s))
+        return c + _perm(axis, x, y, z), nrm
 
     parts = [_Part(area, fn)]
     half = np.eye(3)[{"x": 0, "y": 1, "z": 2}[axis]] * (h / 2)
@@ -167,8 +180,11 @@ def ball(r, center=(0, 0, 0), squash=(1, 1, 1), top_frac=1.0) -> list[_Part]:
         z = rng.uniform(zmin, 1.0, n)  # uniform in z == uniform on sphere
         th = rng.uniform(0, 2 * np.pi, n)
         s = np.sqrt(np.maximum(0.0, 1 - z * z))
-        pts = np.stack([s * np.cos(th), s * np.sin(th), z], 1) * r
-        return c + pts * sq
+        u = np.stack([s * np.cos(th), s * np.sin(th), z], 1)
+        # ellipsoid x = c + r*u*sq has normal ∝ u / sq (inverse scale)
+        nrm = u / np.maximum(sq, 1e-12)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-12
+        return c + u * r * sq, nrm
 
     return [_Part(area, fn)]
 
@@ -189,18 +205,20 @@ def torus(R, r, center=(0, 0, 0), axis="z") -> list[_Part]:
         rad = R + r * np.cos(phi)
         x, y = rad * np.cos(th), rad * np.sin(th)
         z = r * np.sin(phi)
-        pts = np.stack({"z": (x, y, z), "x": (z, x, y),
-                        "y": (x, z, y)}[axis], 1)
-        return c + pts
+        nrm = _perm(axis, np.cos(th) * np.cos(phi),
+                    np.sin(th) * np.cos(phi), np.sin(phi))
+        return c + _perm(axis, x, y, z), nrm
 
     return [_Part(area, fn)]
 
 
-def sample_parts(parts: list[_Part], rng, n: int) -> np.ndarray:
+def sample_parts(parts: list[_Part], rng, n: int):
+    """(points, normals), each (n, 3), area-weighted over the part union."""
     areas = np.array([p.area for p in parts])
     counts = rng.multinomial(n, areas / areas.sum())
-    pts = [p.fn(rng, k) for p, k in zip(parts, counts) if k > 0]
-    return np.concatenate(pts, 0)
+    out = [p.fn(rng, k) for p, k in zip(parts, counts) if k > 0]
+    return (np.concatenate([o[0] for o in out], 0),
+            np.concatenate([o[1] for o in out], 0))
 
 
 # ---------------------------------------------------------------------------
@@ -758,20 +776,31 @@ CLASS_NAMES = list(CLASS_BUILDERS)
 assert len(CLASS_NAMES) == 40
 
 
-def make_shape(class_idx: int, rng, npoints: int = 2048) -> np.ndarray:
-    """One (npoints, 3) unit-sphere Y-up cloud of the given class."""
+def make_shape(class_idx: int, rng, npoints: int = 2048,
+               with_normals: bool = False) -> np.ndarray:
+    """One unit-sphere Y-up cloud of the given class: (npoints, 3), or
+    (npoints, 6) with outward unit normals when with_normals (the
+    modelnet40_normal_resampled txt variant)."""
     parts = CLASS_BUILDERS[CLASS_NAMES[class_idx]](rng)
-    pts = sample_parts(parts, rng, npoints)
+    pts, nrm = sample_parts(parts, rng, npoints)
     # z-up -> y-up (ModelNet40 convention; train-time rotation is about Y)
     pts = pts[:, [0, 2, 1]].astype(np.float64)
     pts[:, 2] = -pts[:, 2]  # keep right-handedness
+    nrm = nrm[:, [0, 2, 1]].astype(np.float64)
+    nrm[:, 2] = -nrm[:, 2]
     # per-instance anisotropic jitter of proportions + noise
-    pts *= rng.uniform(0.85, 1.15, (1, 3))
+    scale = rng.uniform(0.85, 1.15, (1, 3))
+    pts *= scale
     pts += rng.normal(0, 0.004, pts.shape)
-    # center + unit sphere, like the reference's files
+    # center + unit sphere, like the reference's files (isotropic; normals
+    # only need the inverse-transpose of the anisotropic part)
     pts -= pts.mean(0, keepdims=True)
     pts /= np.max(np.linalg.norm(pts, axis=1)) + 1e-12
-    return pts.astype(np.float32)
+    if not with_normals:
+        return pts.astype(np.float32)
+    nrm /= scale
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-12
+    return np.concatenate([pts, nrm], 1).astype(np.float32)
 
 
 def generate(out_dir: str, train_per_class: int = 246,
@@ -805,20 +834,56 @@ def generate(out_dir: str, train_per_class: int = 246,
         f.write("".join(n + "\n" for n in CLASS_NAMES))
 
 
+def generate_txt(out_dir: str, train_per_class: int = 60,
+                 test_per_class: int = 15, npoints: int = 2500,
+                 seed: int = 0) -> None:
+    """Write the modelnet40_normal_resampled txt layout consumed by
+    ModelNetDataset (modelnet_dataset.py:23-128): shape_names /
+    train / test id lists plus one x,y,z,nx,ny,nz CSV per shape.
+    Enables the --normal pipeline (normal-aware augmentation, the MSG
+    5000-pt recipe at npoints >= 5000) on procedural data."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with open(os.path.join(out_dir, "modelnet40_shape_names.txt"), "w") as f:
+        f.write("".join(n + "\n" for n in CLASS_NAMES))
+    ids = {"train": [], "test": []}
+    for ci, name in enumerate(CLASS_NAMES):
+        cdir = os.path.join(out_dir, name)
+        os.makedirs(cdir, exist_ok=True)
+        for k in range(train_per_class + test_per_class):
+            split = "train" if k < train_per_class else "test"
+            sid = f"{name}_{k + 1:04d}"
+            ids[split].append(sid)
+            cloud = make_shape(ci, rng, npoints, with_normals=True)
+            np.savetxt(os.path.join(cdir, sid + ".txt"), cloud,
+                       fmt="%.6f", delimiter=",")
+    for split, lst in ids.items():
+        with open(os.path.join(out_dir, f"modelnet40_{split}.txt"), "w") as f:
+            f.write("".join(s + "\n" for s in lst))
+
+
 def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--train_per_class", type=int, default=246)
-    ap.add_argument("--test_per_class", type=int, default=62)
-    ap.add_argument("--npoints", type=int, default=2048)
+    ap.add_argument("--format", default="h5", choices=["h5", "txt"],
+                    help="h5 = modelnet40_ply_hdf5_2048 layout (xyz); "
+                         "txt = modelnet40_normal_resampled layout "
+                         "(xyz+normal, --normal pipeline)")
+    ap.add_argument("--train_per_class", type=int, default=None)
+    ap.add_argument("--test_per_class", type=int, default=None)
+    ap.add_argument("--npoints", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    generate(args.out, args.train_per_class, args.test_per_class,
-             args.npoints, args.seed)
-    print(f"wrote {args.out}: {args.train_per_class * 40} train / "
-          f"{args.test_per_class * 40} test shapes")
+    if args.format == "h5":
+        tr, te = args.train_per_class or 246, args.test_per_class or 62
+        generate(args.out, tr, te, args.npoints or 2048, args.seed)
+    else:
+        tr, te = args.train_per_class or 60, args.test_per_class or 15
+        generate_txt(args.out, tr, te, args.npoints or 2500, args.seed)
+    print(f"wrote {args.out} [{args.format}]: {tr * 40} train / "
+          f"{te * 40} test shapes")
 
 
 if __name__ == "__main__":

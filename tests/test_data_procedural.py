@@ -97,3 +97,32 @@ def test_classes_geometrically_separable():
     np.fill_diagonal(d, np.inf)
     acc = float(np.mean(labels[d.argmin(1)] == labels))
     assert acc > 0.4, acc  # chance is 0.025
+
+
+def test_normals_unit_everywhere():
+    """with_normals=True appends unit normals for every class."""
+    rng = np.random.default_rng(7)
+    for ci in range(40):
+        c = make_shape(ci, rng, 128, with_normals=True)
+        assert c.shape == (128, 6)
+        np.testing.assert_allclose(
+            np.linalg.norm(c[:, 3:], axis=1), 1.0, atol=1e-5)
+
+
+def test_generate_txt_layout_and_normal_loader(tmp_path):
+    from pointnet2_tpu.data.procedural_modelnet import generate_txt
+
+    out = str(tmp_path / "mn40txt")
+    generate_txt(out, train_per_class=1, test_per_class=1, npoints=128,
+                 seed=0)
+    from pointnet2_tpu.data import ModelNetDataset
+
+    ds = ModelNetDataset(out, batch_size=8, npoints=64, split="train",
+                         normal_channel=True)
+    batch = next(ds.epoch(augment=True))
+    assert batch["points"].shape == (8, 64, 6)
+    assert batch["label"].max() < 40
+    # normals survive the loader's unit-sphere normalization as units
+    n = batch["points"][:, :, 3:]
+    # augmentation rotates normals; they stay approximately unit
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-2)
