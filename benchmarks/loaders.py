@@ -68,6 +68,24 @@ def main():
     bench("scannet_virtual_scan_epoch_clouds",
           lambda: sum(b["nvalid"] for b in vs.epoch()), 4)
 
+    # ModelNet h5 path with the full host augmentation chain — must beat
+    # the measured cls_ssg train step (~3200 clouds/s/chip) to keep the
+    # chip fed when augmenting on host instead of on device.
+    import os
+    import tempfile
+
+    from pointnet2_tpu.data import ModelNetH5Dataset
+    from pointnet2_tpu.data.procedural_modelnet import generate
+
+    d = tempfile.mkdtemp()
+    generate(d, train_per_class=16, test_per_class=2, seed=0)
+    mn = ModelNetH5Dataset(os.path.join(d, "train_files.txt"),
+                           batch_size=16, npoints=1024)
+    bench("modelnet_h5_epoch_clouds_augmented",
+          lambda: sum(b["nvalid"] for b in mn.epoch(augment=True)), 4)
+    bench("modelnet_h5_epoch_clouds_plain",
+          lambda: sum(b["nvalid"] for b in mn.epoch(augment=False)), 4)
+
 
 if __name__ == "__main__":
     main()
