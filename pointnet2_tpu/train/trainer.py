@@ -66,6 +66,10 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
     model_kwargs: dict = field(default_factory=dict)
+    # stall watchdog (train/watchdog.py): exit EXIT_STALLED if no dispatch
+    # completes for this many seconds (None = off). Must exceed worst-case
+    # remote compile of the first dispatch.
+    watchdog_secs: float | None = None
 
 
 class Trainer:
@@ -106,6 +110,7 @@ class Trainer:
         self.eval_count_step = make_eval_count_step(self.model, task=self.task,
                                                     mesh=self.mesh)
         self._local_eval_step = None  # built lazily for multihost protocols
+        self._watchdog = None  # created by fit() when config.watchdog_secs
         self._rng = jax.random.PRNGKey(config.seed)
         os.makedirs(config.log_dir, exist_ok=True)
         self._snapshot_sources()
@@ -149,6 +154,10 @@ class Trainer:
             print(msg, flush=True)
             self._log_file.write(msg + "\n")
             self._log_file.flush()
+
+    def _beat(self) -> None:
+        if self._watchdog is not None:
+            self._watchdog.beat()
 
     def log_metrics(self, **kv: Any) -> None:
         self._metrics_file.write(json.dumps(kv) + "\n")
@@ -234,7 +243,9 @@ class Trainer:
             n += batch["nvalid"]
             if len(buf) == K:
                 state = flush(state)
+                self._beat()
         state = flush(state)
+        self._beat()
         loader.close()
         dt = time.time() - t0
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
@@ -287,6 +298,7 @@ class Trainer:
             # host<->device round trip (~40 ms on this transport) per batch,
             # which dominated eval wall time (155 batches -> ~7 s/epoch).
             counts.append(self.eval_count_step(state, device_batch))
+            self._beat()
         loader.close()
         if counts:  # reduce on device, fetch once (not 4*N round trips)
             correct = float(jnp.sum(jnp.stack([c for c, _, _, _ in counts])))
@@ -348,6 +360,11 @@ class Trainer:
         accuracy, scannet/train.py:167-174).
         """
         max_epoch = max_epoch or self.config.max_epoch
+        if self.config.watchdog_secs:
+            from pointnet2_tpu.train.watchdog import Watchdog
+
+            self._watchdog = Watchdog(self.config.watchdog_secs,
+                                      log_fn=self.log)
         example = next(iter(train_dataset.epoch()))
         state = self.init_state(self._device_view(example))
         state, meta = self.maybe_restore(state)
@@ -380,4 +397,7 @@ class Trainer:
             path = ckpt.save_checkpoint(self.config.log_dir, state,
                                         epoch=max_epoch)
             self.log(f"saved final checkpoint to {path}")
+        if self._watchdog is not None:
+            self._watchdog.close()
+            self._watchdog = None
         return state
