@@ -65,3 +65,49 @@ def test_trainer_wires_watchdog(tmp_path):
     tr.fit(ds, eval_dataset=ds)
     # watchdog was created during fit and closed after
     assert tr._watchdog is None
+
+
+def test_supervise_restarts_on_stall_only(tmp_path):
+    """Exit 75 retries with backoff; other codes propagate immediately."""
+    from pointnet2_tpu.train.watchdog import EXIT_STALLED
+    from pointnet2_tpu.cli.supervise import supervise
+
+    counter = tmp_path / "n"
+    counter.write_text("0")
+    # stalls twice, then succeeds
+    script = (
+        "import sys, pathlib\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()); p.write_text(str(n + 1))\n"
+        f"sys.exit({EXIT_STALLED} if n < 2 else 0)\n"
+    )
+    logs = []
+    rc = supervise([sys.executable, "-c", script], max_restarts=5,
+                   backoff_secs=0.0, log_fn=logs.append, _sleep=lambda s: None)
+    assert rc == 0
+    assert counter.read_text() == "3"
+    assert sum("restarting" in m for m in logs) == 2
+
+    # non-stall failure: no retry
+    counter.write_text("0")
+    script_fail = (
+        "import sys, pathlib\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()); p.write_text(str(n + 1))\n"
+        "sys.exit(3)\n"
+    )
+    rc = supervise([sys.executable, "-c", script_fail], max_restarts=5,
+                   backoff_secs=0.0, log_fn=logs.append, _sleep=lambda s: None)
+    assert rc == 3
+    assert counter.read_text() == "1"
+
+
+def test_supervise_gives_up_after_max_restarts():
+    from pointnet2_tpu.train.watchdog import EXIT_STALLED
+    from pointnet2_tpu.cli.supervise import supervise
+
+    rc = supervise([sys.executable, "-c",
+                    f"import sys; sys.exit({EXIT_STALLED})"],
+                   max_restarts=2, backoff_secs=0.0,
+                   log_fn=lambda m: None, _sleep=lambda s: None)
+    assert rc == EXIT_STALLED
