@@ -51,6 +51,27 @@ MEASURE_CALLS = 4
 
 
 def main() -> None:
+    # The remote TPU session can wedge hard (client blocks in futex with
+    # no exception — CLAUDE.md gotchas); fail fast with a message instead
+    # of hanging the caller forever. 600 s >> worst-case first compile.
+    import sys
+
+    from pointnet2_tpu.train.watchdog import Watchdog
+
+    partial_record: list = []  # set once the timing half has a result
+
+    def _bail(rc):
+        sys.stderr.write("bench.py: device made no progress — TPU session "
+                         "wedged; retry after the transport recovers\n")
+        import os
+        if partial_record:  # timing succeeded; only cost analysis hung
+            print(json.dumps(partial_record[0]), flush=True)
+            os._exit(0)
+        os._exit(rc)
+
+    watchdog = Watchdog(timeout_s=600.0, label="bench",
+                        log_fn=lambda m: None, _exit_fn=_bail)
+
     from pointnet2_tpu.models import MODEL_REGISTRY
     from pointnet2_tpu.parallel.mesh import (
         make_mesh,
@@ -102,6 +123,7 @@ def main() -> None:
         key, sub = jax.random.split(key)
         state, metrics = step(state, device_batches, sub)
     float(metrics["loss"][-1])
+    watchdog.beat()
 
     t0 = time.perf_counter()
     for i in range(MEASURE_CALLS):
@@ -109,6 +131,7 @@ def main() -> None:
         state, metrics = step(state, device_batches, sub)
     float(metrics["loss"][-1])
     dt = time.perf_counter() - t0
+    watchdog.beat()
 
     clouds_per_sec = BATCH * STEPS_PER_CALL * MEASURE_CALLS / dt
     per_chip = clouds_per_sec / n_dev
@@ -118,6 +141,7 @@ def main() -> None:
         "unit": "clouds/s/chip",
         "vs_baseline": round(per_chip / BASELINE_CLOUDS_PER_SEC, 3),
     }
+    partial_record.append(record)
 
     from pointnet2_tpu.utils.profiling import compiled_cost
     cost = compiled_cost(step, state, device_batches, key)
@@ -128,6 +152,7 @@ def main() -> None:
         record["mfu"] = round(tflops / MXU_BF16_TFLOPS, 4)
         record["hbm_gbps"] = round(
             cost["bytes_accessed"] / per_call_s / 1e9 / n_dev, 1)
+    watchdog.close()
     print(json.dumps(record))
 
 
