@@ -65,7 +65,10 @@ def main() -> None:
                          "wedged; retry after the transport recovers\n")
         import os
         if partial_record:  # timing succeeded; only cost analysis hung
-            print(json.dumps(partial_record[0]), flush=True)
+            # "partial" makes the wedge observable downstream even though
+            # the throughput half is valid (advisor r2).
+            print(json.dumps({**partial_record[0], "partial": True}),
+                  flush=True)
             os._exit(0)
         os._exit(rc)
 
@@ -146,6 +149,11 @@ def main() -> None:
     from pointnet2_tpu.utils.profiling import compiled_cost
     cost = compiled_cost(step, state, device_batches, key)
     if cost is not None:
+        # Assumption (advisor r2): cost_analysis() on this backend reports
+        # the whole-program flops/bytes, so /n_dev gives per-chip numbers.
+        # On the headline run n_dev=1 so the two conventions coincide; if
+        # a multi-chip backend reports post-partitioning per-device HLO
+        # instead, drop the /n_dev below before trusting MFU there.
         per_call_s = dt / MEASURE_CALLS
         tflops = cost["flops"] / per_call_s / 1e12 / n_dev
         record["achieved_tflops_per_chip"] = round(tflops, 3)

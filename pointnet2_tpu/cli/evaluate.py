@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--normal", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed; --batch_size is the "
+                        "GLOBAL batch, data is sharded per host (parity "
+                        "with cli.train --multihost)")
     return p
 
 
@@ -49,6 +53,10 @@ def main(argv=None) -> None:
     from pointnet2_tpu.train import checkpoint as ckpt
 
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        from pointnet2_tpu.parallel import multihost
+
+        multihost.initialize()
     task = MODEL_REGISTRY[args.model].task
     _, test_ds, _ = make_datasets(args)
     model_kwargs = {}
@@ -73,7 +81,10 @@ def main(argv=None) -> None:
             return np.asarray(trainer.eval_step(state, db))
 
         evaluate_cls_voting(logits_fn, test_ds, num_votes=args.num_votes,
-                            num_classes=40, rng=0, log_fn=trainer.log)
+                            num_classes=(args.num_classes
+                                         if args.num_classes is not None
+                                         else 40),
+                            rng=0, log_fn=trainer.log)
     elif task in ("part_seg", "part_seg_one_hot"):
         def logits_fn(batch):
             db = shard_batch(trainer.mesh, trainer._device_view(

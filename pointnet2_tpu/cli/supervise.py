@@ -61,7 +61,10 @@ def main(argv=None) -> None:
     train_args = args.train_args
     if train_args and train_args[0] == "--":
         train_args = train_args[1:]
-    if "--watchdog_secs" not in train_args:
+    has_watchdog = any(a == "--watchdog_secs"
+                       or a.startswith("--watchdog_secs=")
+                       for a in train_args)
+    if not has_watchdog:
         train_args = [*train_args, "--watchdog_secs",
                       str(DEFAULT_TIMEOUT_S)]
     cmd = [sys.executable, "-m", "pointnet2_tpu.cli.train", *train_args]

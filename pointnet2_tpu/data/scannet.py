@@ -289,6 +289,10 @@ class ScannetDatasetWholeScene(_ScannetBase):
     reference's closed-interval test.
     """
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._tiling_cache: dict[int, tuple] = {}
+
     @staticmethod
     def block_members(pts: np.ndarray, coordmin: np.ndarray,
                       nx: int, ny: int) -> np.ndarray:
@@ -298,38 +302,71 @@ class ScannetDatasetWholeScene(_ScannetBase):
         xy = pts[:, :2] - coordmin[:2]
         blo = np.floor((xy - 0.2) / 1.5).astype(np.int64)  # (N, 2)
         bhi = np.floor((xy + 0.2) / 1.5).astype(np.int64)
-        pairs = []
         pid = np.arange(len(pts), dtype=np.int64)
-        for bx in (blo[:, 0], bhi[:, 0]):
-            for by in (blo[:, 1], bhi[:, 1]):
-                keep = (bx >= 0) & (bx < nx) & (by >= 0) & (by < ny)
-                pairs.append(np.stack([(bx * ny + by)[keep], pid[keep]], 1))
-        return np.unique(np.concatenate(pairs), axis=0)  # sorted by block
+        # The 4 (x, y) combos cover every owner; a combo duplicates the
+        # first exactly when its floor equals the low floor on that axis,
+        # so masking on inequality yields a duplicate-free pair set with
+        # no np.unique(axis=0) pass (which dominated tiling cost).
+        dx = blo[:, 0] != bhi[:, 0]
+        dy = blo[:, 1] != bhi[:, 1]
+        combos = [(blo[:, 0], blo[:, 1], None),
+                  (bhi[:, 0], blo[:, 1], dx),
+                  (blo[:, 0], bhi[:, 1], dy),
+                  (bhi[:, 0], bhi[:, 1], dx & dy)]
+        pairs = []
+        for bx, by, extra in combos:
+            keep = (bx >= 0) & (bx < nx) & (by >= 0) & (by < ny)
+            if extra is not None:
+                keep &= extra
+            pairs.append(np.stack([(bx * ny + by)[keep], pid[keep]], 1))
+        pairs = np.concatenate(pairs)
+        order = np.argsort(pairs[:, 0], kind="stable")
+        return pairs[order]
 
-    def get_item(self, index: int):
+    def _scene_tiling(self, index: int):
+        """Static per-scene binning (pairs sorted by block + block table);
+        cached — eval passes re-tile the same scenes every time, so only
+        the (vectorized) resampling below is paid per pass."""
+        cached = self._tiling_cache.get(index)
+        if cached is not None:
+            return cached
         pts = self.scene_points_list[index]
-        seg = self.semantic_labels_list[index]
         coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
         nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5))
         ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5))
         pairs = self.block_members(pts, coordmin, nx, ny)
         block_ids, starts = np.unique(pairs[:, 0], return_index=True)
-        ends = np.append(starts[1:], len(pairs))
-        point_sets, segs, weights = [], [], []
-        for b, s, e in zip(block_ids, starts, ends):
-            member = pairs[s:e, 1]
-            sel = member[self._rng.integers(e - s, size=self.npoints)]
-            curmin = coordmin + [(b // ny) * 1.5, (b % ny) * 1.5, 0]
-            curmax = np.array([curmin[0] + 1.5, curmin[1] + 1.5, coordmax[2]])
-            ps = pts[sel]
-            msk = ((ps >= curmin - 0.001) & (ps <= curmax + 0.001)).all(-1)
-            if msk.mean() < 0.01:
-                continue
-            point_sets.append(ps)
-            segs.append(seg[sel])
-            weights.append((self.labelweights[seg[sel]] * msk
-                            ).astype(np.float32))
-        return (np.stack(point_sets), np.stack(segs), np.stack(weights))
+        counts = np.append(starts[1:], len(pairs)) - starts
+        tiling = (pairs[:, 1].copy(), block_ids, starts, counts, ny,
+                  coordmin, coordmax)
+        self._tiling_cache[index] = tiling
+        return tiling
+
+    def get_item(self, index: int):
+        pts = self.scene_points_list[index]
+        seg = self.semantic_labels_list[index]
+        member, block_ids, starts, counts, ny, coordmin, coordmax = \
+            self._scene_tiling(index)
+        B = len(block_ids)
+        # One batched resample-with-replacement for ALL blocks: per-row
+        # uniform offsets into each block's contiguous [start, start+count)
+        # slice of the sorted membership array.
+        u = self._rng.random((B, self.npoints))
+        offs = (u * counts[:, None]).astype(np.int64)
+        sel = member[starts[:, None] + offs]          # (B, npoints)
+        ps = pts[sel]                                 # (B, npoints, 3)
+        sg = seg[sel]
+        curmin = coordmin + np.stack(
+            [(block_ids // ny) * 1.5, (block_ids % ny) * 1.5,
+             np.zeros(B)], 1)                         # (B, 3)
+        curmax = np.stack(
+            [curmin[:, 0] + 1.5, curmin[:, 1] + 1.5,
+             np.full(B, coordmax[2])], 1)
+        msk = ((ps >= curmin[:, None] - 0.001)
+               & (ps <= curmax[:, None] + 0.001)).all(-1)  # (B, npoints)
+        keep = msk.mean(1) >= 0.01
+        w = (self.labelweights[sg] * msk).astype(np.float32)
+        return ps[keep], sg[keep], w[keep]
 
     def blocks(self) -> Iterator[tuple]:
         """All blocks of all scenes, flattened (for batched whole-scene

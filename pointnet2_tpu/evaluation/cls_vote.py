@@ -62,6 +62,17 @@ def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
             seen_class[lbl] += 1
             correct_class[lbl] += int(prd == lbl)
 
+    # Host-sharded eval (cli.evaluate --multihost): each process saw only
+    # its shard; sum the counter vectors so every host reports the global
+    # protocol numbers (no-op single-process).
+    from pointnet2_tpu.parallel import multihost
+
+    counters = multihost.allreduce_sum(np.array(
+        [total_correct, total_seen], np.int64))
+    total_correct, total_seen = int(counters[0]), int(counters[1])
+    seen_class = multihost.allreduce_sum(seen_class)
+    correct_class = multihost.allreduce_sum(correct_class)
+
     acc = total_correct / max(total_seen, 1)
     class_acc = correct_class / np.maximum(seen_class, 1)
     present = seen_class > 0

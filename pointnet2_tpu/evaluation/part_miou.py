@@ -71,6 +71,34 @@ class PartSegMetrics:
                     part_ious.append((gt & pr).sum() / float((gt | pr).sum()))
             self.shape_ious[cat].append(float(np.mean(part_ious)))
 
+    def allreduced(self) -> "PartSegMetrics":
+        """Cross-process sum for host-sharded eval (no-op single-process).
+
+        Per-shape IoUs reduce as (sum, count) per category, which preserves
+        both the category means and the instance (all-shapes) mean."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from pointnet2_tpu.parallel import multihost
+
+        cats = sorted(SEG_CLASSES)
+        per_cat = np.array(
+            [[float(np.sum(self.shape_ious[c])), len(self.shape_ious[c])]
+             for c in cats], np.float64)
+        per_cat = multihost.allreduce_sum(per_cat)
+        out = PartSegMetrics()
+        for (s, n), c in zip(per_cat, cats):
+            # (sum, count) -> count copies of the mean: preserves the
+            # category mean AND each shape's weight in the instance mean.
+            out.shape_ious[c] = [s / n] * int(n) if n else []
+        scalars = multihost.allreduce_sum(np.array(
+            [self.total_correct, self.total_seen], np.int64))
+        out.total_correct, out.total_seen = int(scalars[0]), int(scalars[1])
+        out.seen_class = multihost.allreduce_sum(self.seen_class)
+        out.correct_class = multihost.allreduce_sum(self.correct_class)
+        return out
+
     def result(self, log_fn=print) -> dict:
         cat_miou = {c: float(np.mean(v)) for c, v in self.shape_ious.items()
                     if v}
@@ -123,4 +151,4 @@ def evaluate_part_seg_voting(eval_logits_fn, dataset, num_votes: int = 12,
                 eval_logits_fn(dict(batch, points=pts[:, perm])), np.float64)
             pred_sum[:, perm, :] += logits
         metrics.update(pred_sum[:nvalid], seg[:nvalid])
-    return metrics.result(log_fn)
+    return metrics.allreduced().result(log_fn)
