@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_whole_scene_eval", action="store_true",
                    help="sem_seg: skip the whole-scene sliding-block eval "
                         "and caliacc best-ckpt selection during training")
+    p.add_argument("--loader_workers", type=int, default=2,
+                   help="sem_seg: threads producing crop samples in "
+                        "parallel (0/1 = in-line; measured ~1.4x at 2)")
     p.add_argument("--virtual_scan", action="store_true",
                    help="sem_seg: train on 8-view virtual-scan samples "
                         "instead of random crops "
@@ -150,14 +153,16 @@ def _make_datasets_sharded(args, shard):
 
         train = train_cls(scenes=make_synthetic_scenes(4),
                           npoints=args.num_point, split="train",
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size,
+                          num_workers=getattr(args, "loader_workers", 2))
         test = ScannetDataset(scenes=make_synthetic_scenes(2, seed=9),
                               npoints=args.num_point, split="test",
                               batch_size=args.batch_size)
         return train, test, "scannet"
     train = train_cls(root=args.data, npoints=args.num_point,
                       split="train", batch_size=args.batch_size,
-                      process_shard=shard)
+                      process_shard=shard,
+                      num_workers=getattr(args, "loader_workers", 2))
     test = ScannetDataset(root=args.data, npoints=args.num_point,
                           split="test", batch_size=args.batch_size,
                           process_shard=shard)

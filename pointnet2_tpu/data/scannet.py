@@ -51,20 +51,34 @@ def _load_scenes(root: str, split: str):
 class _ScannetBase:
     def __init__(self, root: str | None = None, npoints: int = 8192,
                  split: str = "train", scenes=None, batch_size: int = 16,
-                 seed: int = 0, process_shard: tuple[int, int] | None = None):
+                 seed: int = 0, process_shard: tuple[int, int] | None = None,
+                 num_workers: int = 0):
         if scenes is not None:
-            self.scene_points_list = [np.asarray(p, np.float32)
-                                      for p, _ in scenes]
-            self.semantic_labels_list = [np.asarray(l, np.int32)
-                                         for _, l in scenes]
+            pts = [p for p, _ in scenes]
+            lbl = [l for _, l in scenes]
         else:
             pts, lbl = _load_scenes(root, split)
-            self.scene_points_list = [np.asarray(p, np.float32) for p in pts]
-            self.semantic_labels_list = [np.asarray(l, np.int32) for l in lbl]
+        # Scenes are stored X-SORTED: the crop sampler's slab prefilter
+        # becomes a contiguous slice (searchsorted directly on the stored
+        # array, no per-scene argsort cache, no indirect gathers on the
+        # hot path). Within-scene point order carries no semantics for any
+        # sampler — crops/blocks/views all resample randomly — though the
+        # wdp augmentation's "replace with point 0" now means the
+        # leftmost-x point rather than the pickle's arbitrary first point
+        # (equally arbitrary; scannet/train.py:190).
+        self.scene_points_list = []
+        self.semantic_labels_list = []
+        for p, l in zip(pts, lbl):
+            p = np.asarray(p, np.float32)
+            l = np.asarray(l, np.int32)
+            order = np.argsort(p[:, 0], kind="stable")
+            self.scene_points_list.append(np.ascontiguousarray(p[order]))
+            self.semantic_labels_list.append(np.ascontiguousarray(l[order]))
         self.npoints = npoints
         self.split = split
         self.batch_size = batch_size
         self._rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
         self._meta_cache: dict[int, tuple] = {}  # x-order/bounds, capped
         if split == "train":
             self.labelweights = compute_label_weights(self.semantic_labels_list)
@@ -86,17 +100,13 @@ class _ScannetBase:
         return -(-len(self) // self.batch_size)
 
     def scene_meta(self, index: int):
-        """Cached (x_order, x_sorted, coordmin, coordmax) for the slab
-        prefilter; bounded so a 1000+-scene dataset doesn't hold a second
-        copy of every scene's order in memory."""
+        """Cached (coordmin, coordmax) bounds. Scenes are stored x-sorted
+        (see __init__), so the slab prefilter needs no ordering metadata —
+        bounds are the only derived per-scene state."""
         meta = self._meta_cache.get(index)
         if meta is None:
             pts = self.scene_points_list[index]
-            order = np.argsort(pts[:, 0], kind="stable").astype(np.int64)
-            meta = (order, pts[order, 0].copy(),
-                    pts.min(axis=0), pts.max(axis=0))
-            if len(self._meta_cache) >= 256:
-                self._meta_cache.pop(next(iter(self._meta_cache)))
+            meta = (pts.min(axis=0), pts.max(axis=0))
             self._meta_cache[index] = meta
         return meta
 
@@ -203,40 +213,52 @@ class ScannetDataset(_ScannetBase):
         return expanded, strict, annotated, occupancy
 
     def _score_one(self, pts, seg, center, meta):
-        """Score a single candidate column using the x-sorted slab
-        prefilter. Returns (member point ids, strict mask over members,
-        annotated fraction, voxel occupancy). Bound arithmetic matches
-        :meth:`score_candidates` operation-for-operation so the two paths
-        are bitwise consistent."""
-        order, x_sorted, coordmin, coordmax = meta
+        """Score a single candidate column. `pts`/`seg` must be the
+        dataset's stored (x-sorted) arrays: the slab is then the
+        contiguous slice [l:r) and every test runs on contiguous rows
+        (no indirect gathers). Returns (member point ids, strict mask over
+        members, annotated fraction, voxel occupancy). Bound arithmetic
+        matches :meth:`score_candidates` operation-for-operation so the
+        two paths are bitwise consistent."""
+        coordmin, coordmax = meta
         lo = center - self._HALF
         hi = center + self._HALF
         lo[2], hi[2] = coordmin[2], coordmax[2]
 
-        # x slab via binary search, then the y test on the slab only
-        l = np.searchsorted(x_sorted, lo[0] - 0.2, "left")
-        r = np.searchsorted(x_sorted, hi[0] + 0.2, "right")
-        cand = order[l:r]
-        y = pts[cand, 1]
-        member = cand[(y >= lo[1] - 0.2) & (y <= hi[1] + 0.2)]
+        # x slab via binary search on the stored-sorted x column, then the
+        # y test on the contiguous slab only
+        l = np.searchsorted(pts[:, 0], lo[0] - 0.2, "left")
+        r = np.searchsorted(pts[:, 0], hi[0] + 0.2, "right")
+        y = pts[l:r, 1]
+        m = (y >= lo[1] - 0.2) & (y <= hi[1] + 0.2)
+        member = l + np.flatnonzero(m)
         if len(member) == 0:
             return member, member.astype(bool), 0.0, 0.0
-        annotated = float(np.mean(seg[member] > 0))
+        nm = len(member)
+        annotated = np.count_nonzero(m & (seg[l:r] > 0)) / nm
 
-        px, py = pts[member, 0], pts[member, 1]
+        px, py = pts[l:r, 0][m], y[m]
         strict = ((px >= lo[0] - 0.01) & (px <= hi[0] + 0.01)
                   & (py >= lo[1] - 0.01) & (py <= hi[1] + 0.01))
         v = np.ceil((pts[member[strict]] - lo) / (hi - lo) * self._GRID)
-        keys = (v[:, 0] * self._GRID[1] + v[:, 1]) * self._GRID[2] + v[:, 2]
-        occupancy = len(np.unique(keys)) / float(self._GRID.prod())
+        keys = ((v[:, 0] * self._GRID[1] + v[:, 1]) * self._GRID[2]
+                + v[:, 2]).astype(np.int64)
+        nvox = float(self._GRID.prod())
+        # occupied-voxel count via bincount over the small fixed key space
+        # (no sort, unlike np.unique); keys can sit one cell outside the
+        # grid from the +-0.01 strict margin, hence the shift/slack.
+        occupancy = np.count_nonzero(
+            np.bincount(keys - keys.min() if keys.size else keys,
+                        minlength=1)) / nvox
         return member, strict, annotated, occupancy
 
-    def get_item(self, index: int, num_candidates: int = 10):
+    def get_item(self, index: int, num_candidates: int = 10, rng=None):
         pts = self.scene_points_list[index]  # (N, 3)
         seg = self.semantic_labels_list[index]  # (N,)
         meta = self.scene_meta(index)
+        rng = self._rng if rng is None else rng
 
-        centers = pts[self._rng.integers(len(pts), size=num_candidates)]
+        centers = pts[rng.integers(len(pts), size=num_candidates)]
         chosen = last_nonempty = None
         for k in range(num_candidates):  # early exit on first acceptance,
             member, strict, annotated, occupancy = self._score_one(
@@ -254,7 +276,7 @@ class ScannetDataset(_ScannetBase):
             strict = np.ones(len(pts), bool)
         else:
             member, strict = chosen
-        sel_local = self._rng.integers(len(member), size=self.npoints)
+        sel_local = rng.integers(len(member), size=self.npoints)
         sel = member[sel_local]
         weight = self.labelweights[seg[sel]] * strict[sel_local]
         return pts[sel], seg[sel], weight.astype(np.float32)
@@ -265,9 +287,20 @@ class ScannetDataset(_ScannetBase):
         get_batch_wdp density augmentation (scannet/train.py:181-197)."""
         order = self._rng.permutation(len(self))
         wdp = input_dropout and self.split == "train"
-        yield from _batched_items(
-            (self.get_item(i) for i in order), self.batch_size, self._rng,
-            input_dropout=wdp)
+        if self.num_workers > 1:
+            # Per-item generators spawned up front keep the stream
+            # deterministic for a given seed regardless of thread timing.
+            from pointnet2_tpu.utils.prefetch import parallel_map
+
+            seeds = self._rng.integers(0, 2 ** 63, size=len(order))
+            items = parallel_map(
+                lambda t: self.get_item(
+                    int(t[0]), rng=np.random.default_rng(int(t[1]))),
+                list(zip(order, seeds)), self.num_workers)
+        else:
+            items = (self.get_item(i) for i in order)
+        yield from _batched_items(items, self.batch_size, self._rng,
+                                  input_dropout=wdp)
 
 
 class ScannetDatasetWholeScene(_ScannetBase):

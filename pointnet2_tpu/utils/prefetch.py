@@ -22,6 +22,37 @@ class _ExceptionWrapper:
 _END = object()
 
 
+def parallel_map(fn, items: Iterable, workers: int,
+                 ahead: int | None = None) -> Iterator:
+    """Order-preserving lazy thread map with a bounded in-flight window.
+
+    Numpy-heavy item producers (the ScanNet crop sampler's slab scans and
+    resampling gathers) release the GIL for most of their work, so a small
+    thread pool overlaps them well without process-spawn cost. `ahead`
+    bounds buffered results (host memory), default 2x workers.
+    """
+    if workers <= 1:
+        for x in items:
+            yield fn(x)
+        return
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    ahead = ahead if ahead is not None else workers * 2
+    dq: collections.deque = collections.deque()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        try:
+            for x in items:
+                dq.append(ex.submit(fn, x))
+                if len(dq) >= ahead:
+                    yield dq.popleft().result()
+            while dq:
+                yield dq.popleft().result()
+        finally:
+            for f in dq:
+                f.cancel()
+
+
 class Prefetcher(Iterator):
     """Wrap an iterable so items are produced by a background thread.
 

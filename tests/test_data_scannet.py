@@ -72,6 +72,9 @@ def test_crop_fast_path_matches_matrix_scoring():
     pts[:, 2] *= 0.6
     seg = gen.integers(0, 21, 8000).astype(np.int32)
     ds = ScannetDataset(scenes=[(pts, seg)], npoints=64, split="train")
+    # the fast path contract is over the dataset's STORED arrays (x-sorted
+    # at load); the matrix spec is order-independent
+    pts, seg = ds.scene_points_list[0], ds.semantic_labels_list[0]
     meta = ds.scene_meta(0)
     centers = pts[gen.integers(len(pts), size=16)].copy()
 
