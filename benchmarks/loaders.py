@@ -52,14 +52,27 @@ def main():
     bench("scannet_crop_get_item",
           lambda: (train.get_item(np.random.randint(len(scenes))), 1)[1], 64)
 
-    def one_epoch_batches():
-        return sum(1 for _ in train.epoch()) * train.batch_size
+    def one_epoch_batches(ds):
+        return sum(1 for _ in ds.epoch()) * ds.batch_size
 
-    bench("scannet_crop_epoch_clouds", one_epoch_batches, 8)
+    bench("scannet_crop_epoch_clouds", lambda: one_epoch_batches(train), 8)
+    train2 = ScannetDataset(scenes=scenes, npoints=8192, split="train",
+                            batch_size=16, num_workers=2)
+    bench("scannet_crop_epoch_clouds_2workers",
+          lambda: one_epoch_batches(train2), 8)
 
+    # cold = fresh dataset (tiling computed); warm = cached tiling, the
+    # steady state of the every-5-epochs whole-scene eval protocol
+    def whole_cold():
+        w = ScannetDatasetWholeScene(scenes=scenes[:2], npoints=8192,
+                                     split="test")
+        return w.get_item(0)[0].shape[0]
+
+    bench("scannet_whole_scene_blocks_cold", whole_cold, 8)
     whole = ScannetDatasetWholeScene(scenes=scenes[:2], npoints=8192,
                                      split="test")
-    bench("scannet_whole_scene_blocks",
+    whole.get_item(0)
+    bench("scannet_whole_scene_blocks_warm",
           lambda: whole.get_item(0)[0].shape[0], 8)
 
     vs = ScannetDatasetVirtualScan(scenes=scenes[:2], npoints=8192,

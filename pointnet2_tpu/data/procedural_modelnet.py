@@ -796,6 +796,15 @@ def make_shape(class_idx: int, rng, npoints: int = 2048,
     # only need the inverse-transpose of the anisotropic part)
     pts -= pts.mean(0, keepdims=True)
     pts /= np.max(np.linalg.norm(pts, axis=1)) + 1e-12
+    # Shuffle row order: points as sampled are grouped by part, and the
+    # loaders (like the reference's) take the FIRST npoints rows — a
+    # part-ordered file makes that slice drop whole parts. Real ModelNet40
+    # files are order-unbiased; measured on the 251-epoch r3 run, the
+    # part-ordered v1 layout depressed unshuffled single-view eval to
+    # 0.81 while any point-shuffled eval (the vote protocol) scored 0.99+.
+    perm = rng.permutation(len(pts))
+    pts = pts[perm]
+    nrm = nrm[perm]
     if not with_normals:
         return pts.astype(np.float32)
     nrm /= scale

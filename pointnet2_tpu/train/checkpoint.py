@@ -29,13 +29,16 @@ def _meta_path(directory: str, name: str) -> str:
 
 
 def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
-                    epoch: int | None = None) -> str:
+                    epoch: int | None = None,
+                    score: float | None = None) -> str:
     """Write the checkpoint (process 0 only) and barrier all hosts.
 
     `epoch` is the number of COMPLETED epochs at save time; it round-trips
     through the sidecar meta file so resume does not have to derive it
     from step // num_batches (which silently mis-resumes if the batch size
-    changed).
+    changed). `score` (best-checkpoint selection metric) rides along so a
+    resumed run never lets its first eval overwrite a better best-ckpt
+    from before the interruption.
     """
     path = os.path.join(os.path.abspath(directory), name)
     # Every process participates: orbax's save is itself multihost-
@@ -46,6 +49,8 @@ def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
         ckptr.save(path, jax.device_get(state), force=True)
     if multihost.is_primary():
         meta = {"step": int(state.step), "epoch": epoch}
+        if score is not None:
+            meta["score"] = float(score)
         tmp = _meta_path(directory, name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)

@@ -374,7 +374,11 @@ class Trainer:
             start_epoch = int(meta["epoch"])
         else:  # meta-less legacy checkpoint: fall back to deriving
             start_epoch = int(state.step) // max(train_dataset.num_batches(), 1)
-        best_score = -1.0
+        # A resumed run must not let its first eval clobber a better
+        # best-checkpoint from before the interruption: the selection
+        # score rides in the best ckpt's sidecar meta.
+        best_meta = ckpt.load_meta(self.config.log_dir, name="best")
+        best_score = float((best_meta or {}).get("score") or -1.0)
         every = max(1, self.config.eval_every)
         for epoch in range(start_epoch, max_epoch):
             state = self.train_epoch(state, train_dataset, epoch)
@@ -387,7 +391,8 @@ class Trainer:
                 if score > best_score:
                     best_score = score
                     ckpt.save_checkpoint(self.config.log_dir, state,
-                                         name="best", epoch=epoch + 1)
+                                         name="best", epoch=epoch + 1,
+                                         score=score)
                     self.log(f"epoch {epoch}: new best score {score:.4f}")
             if (epoch + 1) % self.config.ckpt_every_epochs == 0:
                 path = ckpt.save_checkpoint(self.config.log_dir, state,

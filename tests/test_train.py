@@ -82,6 +82,30 @@ def test_trainer_fit_and_eval(tmp_path):
     assert cfg["model"] == "pointnet2_cls_ssg" and cfg["batch_size"] == 8
 
 
+def test_resume_does_not_clobber_better_best_ckpt(tmp_path):
+    """A resumed fit must seed its best-score tracker from the best
+    checkpoint's sidecar meta, not -inf — otherwise the first post-resume
+    eval silently overwrites the true best model (hit in anger by the
+    procmn40 run, resumed through TPU wedges at epochs past its peak)."""
+    from pointnet2_tpu.train import checkpoint as ckpt
+
+    ds = SyntheticClassification(num_classes=4, samples_per_class=8,
+                                 npoints=64, batch_size=8)
+    tr = _make_trainer(tmp_path, max_epoch=1, ckpt_every_epochs=1)
+    tr.fit(ds, eval_dataset=ds)
+    meta = ckpt.load_meta(str(tmp_path), name="best")
+    assert meta is not None and meta.get("score") is not None
+    # pretend the pre-interruption best was (unbeatably) high
+    meta["score"] = 0.999999
+    with open(tmp_path / "best.meta.json", "w") as f:
+        json.dump(meta, f)
+    tr2 = _make_trainer(tmp_path, max_epoch=2, ckpt_every_epochs=1)
+    tr2.fit(ds, eval_dataset=ds)  # resumes at epoch 1
+    meta2 = ckpt.load_meta(str(tmp_path), name="best")
+    assert meta2["score"] == pytest.approx(0.999999), \
+        "resume overwrote a better best checkpoint"
+
+
 def test_checkpoint_roundtrip_resume(tmp_path):
     from pointnet2_tpu.train import checkpoint as ckpt
 
