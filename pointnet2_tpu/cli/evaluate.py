@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--normal", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--model_kwargs", type=str, default=None,
+                   help="JSON dict of extra model constructor kwargs "
+                        "(must match the trained config)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed; --batch_size is the "
                         "GLOBAL batch, data is sharded per host (parity "
@@ -60,6 +63,12 @@ def main(argv=None) -> None:
     task = MODEL_REGISTRY[args.model].task
     _, test_ds, _ = make_datasets(args)
     model_kwargs = {}
+    if getattr(args, "model_kwargs", None):
+        import json
+
+        model_kwargs.update({
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(args.model_kwargs).items()})
     if args.num_classes is not None:
         key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
         model_kwargs[key] = args.num_classes

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--num_classes", type=int, default=None,
                    help="override the model's class count (e.g. sem_seg)")
+    p.add_argument("--model_kwargs", type=str, default=None,
+                   help="JSON dict of extra model constructor kwargs, e.g. "
+                        "'{\"sa1_nsample\": [128,128,128]}' for the MSG "
+                        "5000-pt paper recipe (README.md:59)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (params/stats stay float32)")
@@ -205,6 +209,13 @@ def main(argv=None) -> None:
     train_ds, test_ds, augment = make_datasets(args)
     task = MODEL_REGISTRY[args.model].task
     model_kwargs = {}
+    if getattr(args, "model_kwargs", None):
+        import json
+
+        # JSON lists -> tuples (flax dataclass fields expect hashables)
+        model_kwargs.update({
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(args.model_kwargs).items()})
     if args.num_classes is not None:
         key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
         model_kwargs[key] = args.num_classes
