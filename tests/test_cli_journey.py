@@ -55,3 +55,36 @@ def test_cli_train_evaluate_visualize_serve(tmp_path):
     logits = pred(np.random.RandomState(0).rand(3, np_pts, 3)
                   .astype(np.float32))
     assert logits.shape == (3, 40) and np.isfinite(logits).all()
+
+
+def test_model_kwargs_flag_parses_and_builds(tmp_path):
+    """--model_kwargs JSON reaches the model constructor (lists become
+    tuples for flax field hashability); enables the MSG 5000-pt
+    nsample=128 paper recipe (README.md:59) from the CLI."""
+    cli_train.main([
+        "--model", "pointnet2_cls_msg", "--synthetic",
+        "--synthetic_size", "1", "--num_point", "96", "--batch_size", "8",
+        "--max_epoch", "1", "--log_dir", str(tmp_path / "kw"),
+        "--model_kwargs",
+        '{"sa1_nsample": [8, 8, 8], "sa2_nsample": [8, 8, 8]}'])
+    cfg = json.loads((tmp_path / "kw" / "config.json").read_text())
+    assert cfg["model_kwargs"]["sa1_nsample"] == [8, 8, 8]
+
+
+def test_parallel_map_order_and_laziness():
+    from pointnet2_tpu.utils.prefetch import parallel_map
+
+    out = list(parallel_map(lambda x: x * x, range(23), workers=3))
+    assert out == [x * x for x in range(23)]
+    # bounded window: taking a prefix must not consume the whole stream
+    consumed = []
+
+    def src():
+        for i in range(1000):
+            consumed.append(i)
+            yield i
+
+    it = parallel_map(lambda x: x, src(), workers=2, ahead=4)
+    head = [next(it) for _ in range(3)]
+    assert head == [0, 1, 2]
+    assert len(consumed) < 50
