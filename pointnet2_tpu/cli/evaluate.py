@@ -52,6 +52,10 @@ def main(argv=None) -> None:
         evaluate_scannet_whole_scene,
     )
     from pointnet2_tpu.parallel.mesh import shard_batch
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_tpu.parallel.mesh import DATA_AXIS
+    from pointnet2_tpu.parallel.multihost import to_local_numpy
     from pointnet2_tpu.train import TrainConfig, Trainer
     from pointnet2_tpu.train import checkpoint as ckpt
 
@@ -87,7 +91,8 @@ def main(argv=None) -> None:
             batch = {"points": np.asarray(points, np.float32),
                      "label": np.zeros(points.shape[0], np.int32)}
             db = shard_batch(trainer.mesh, trainer._device_view(batch))
-            return np.asarray(trainer.eval_step(state, db))
+            return to_local_numpy(trainer.eval_step(state, db),
+                                  trainer.mesh, P(DATA_AXIS))
 
         evaluate_cls_voting(logits_fn, test_ds, num_votes=args.num_votes,
                             num_classes=(args.num_classes
@@ -99,7 +104,8 @@ def main(argv=None) -> None:
             db = shard_batch(trainer.mesh, trainer._device_view(
                 {k: np.asarray(v) for k, v in batch.items()
                  if k != "nvalid"}))
-            return np.asarray(trainer.eval_step(state, db))
+            return to_local_numpy(trainer.eval_step(state, db),
+                                  trainer.mesh, P(DATA_AXIS))
 
         evaluate_part_seg_voting(logits_fn, test_ds,
                                  num_votes=args.num_votes, rng=0,
@@ -109,7 +115,8 @@ def main(argv=None) -> None:
             db = shard_batch(trainer.mesh, trainer._device_view(
                 {k: np.asarray(v) for k, v in batch.items()
                  if k != "nvalid"}))
-            return np.asarray(trainer.eval_step(state, db))
+            return to_local_numpy(trainer.eval_step(state, db),
+                                  trainer.mesh, P(DATA_AXIS))
 
         evaluate_scannet_chopped(logits_fn, test_ds, rng=0,
                                  log_fn=trainer.log)
@@ -118,6 +125,10 @@ def main(argv=None) -> None:
             make_synthetic_scenes,
         )
 
+        import jax
+
+        shard = ((jax.process_index(), jax.process_count())
+                 if args.multihost and jax.process_count() > 1 else None)
         if args.synthetic or args.data is None:
             whole = ScannetDatasetWholeScene(
                 scenes=make_synthetic_scenes(2, seed=9),
@@ -125,7 +136,8 @@ def main(argv=None) -> None:
         else:
             whole = ScannetDatasetWholeScene(root=args.data,
                                              npoints=args.num_point,
-                                             split="test")
+                                             split="test",
+                                             process_shard=shard)
         evaluate_scannet_whole_scene(logits_fn, whole,
                                      batch_size=args.batch_size,
                                      log_fn=trainer.log)

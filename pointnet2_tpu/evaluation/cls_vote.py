@@ -42,6 +42,8 @@ def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
     Returns {"accuracy", "avg_class_accuracy", "class_accuracy",
     "per_class_seen"}.
     """
+    from pointnet2_tpu.parallel import multihost
+
     rng = rng if isinstance(rng, np.random.Generator) else \
         np.random.default_rng(rng)
     total_correct = 0
@@ -49,7 +51,9 @@ def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
     seen_class = np.zeros(num_classes, np.int64)
     correct_class = np.zeros(num_classes, np.int64)
 
-    for batch in dataset.epoch(augment=False):
+    from pointnet2_tpu.evaluation.lockstep import lockstep_batches
+
+    for batch in lockstep_batches(dataset, multihost):
         pts = batch["points"]
         label = batch["label"]
         nvalid = batch["nvalid"]

@@ -138,10 +138,13 @@ def evaluate_part_seg_voting(eval_logits_fn, dataset, num_votes: int = 12,
 
     eval_logits_fn(batch dict) -> (B, N, NUM_PARTS) logits.
     """
+    from pointnet2_tpu.evaluation.lockstep import lockstep_batches
+    from pointnet2_tpu.parallel import multihost
+
     rng = rng if isinstance(rng, np.random.Generator) else \
         np.random.default_rng(rng)
     metrics = PartSegMetrics()
-    for batch in dataset.epoch(augment=False):
+    for batch in lockstep_batches(dataset, multihost):
         pts, seg, nvalid = batch["points"], batch["seg"], batch["nvalid"]
         N = pts.shape[1]
         pred_sum = np.zeros((pts.shape[0], N, NUM_PARTS), np.float64)

@@ -126,10 +126,13 @@ def evaluate_scannet_chopped(eval_logits_fn, dataset, rng=None,
                              log_fn=print) -> dict:
     """Random-crop evaluation with z-rotation TTA (scannet/train.py:252-323).
     eval_logits_fn(batch dict) -> (B, N, NUM_CLASSES) logits."""
+    from pointnet2_tpu.evaluation.lockstep import lockstep_batches
+    from pointnet2_tpu.parallel import multihost
+
     rng = rng if isinstance(rng, np.random.Generator) else \
         np.random.default_rng(rng)
     metrics = ScanNetMetrics()
-    for batch in dataset.epoch(augment=False, input_dropout=False):
+    for batch in lockstep_batches(dataset, multihost, input_dropout=False):
         nvalid = batch["nvalid"]
         aug = A.rotate_point_cloud_z(batch["points"], rng)
         logits = np.asarray(eval_logits_fn(dict(batch, points=aug)))
@@ -145,8 +148,15 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
     Returns metrics incl. calibrated_accuracy_vox (the headline number)."""
     metrics = ScanNetMetrics()
     block_pts, block_seg, block_w = [], [], []
+    dispatches = [0]
+    template = []
 
     def flush(force=False):
+        dispatches[0] += _flush(force)
+        return dispatches[0]
+
+    def _flush(force=False):
+        n = 0
         while len(block_pts) >= batch_size or (force and block_pts):
             take = min(batch_size, len(block_pts))
             pts = np.stack(block_pts[:take])
@@ -158,10 +168,16 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
                 pts = np.concatenate([pts, pts[-1:].repeat(pad, 0)])
                 seg = np.concatenate([seg, seg[-1:].repeat(pad, 0)])
                 w = np.concatenate([w, w[-1:].repeat(pad, 0)])
-            logits = np.asarray(eval_logits_fn(
-                {"points": pts.astype(np.float32), "seg": seg, "smpw": w}))
+            batch = {"points": pts.astype(np.float32), "seg": seg,
+                     "smpw": w}
+            if not template:
+                template.append({k: np.zeros_like(v)
+                                 for k, v in batch.items()})
+            logits = np.asarray(eval_logits_fn(batch))
             pred = logits.argmax(-1)
             metrics.update(pts[:take], pred[:take], seg[:take], w[:take])
+            n += 1
+        return n
 
     for ps, seg, w in whole_scene_dataset.blocks():
         block_pts.append(ps)
@@ -169,6 +185,17 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
         block_w.append(w)
         flush()
     flush(force=True)
+    # Host-sharded scenes produce different block (and so dispatch) counts
+    # per host; every eval_logits_fn call is a lockstep collective, so
+    # exhausted hosts must issue matching dummy dispatches (contributing
+    # nothing) before the final allreduce.
+    from pointnet2_tpu.parallel import multihost
+
+    n_max = multihost.sync_num_batches(dispatches[0], reduce="max")
+    assert dispatches[0] == n_max or template, \
+        "host with zero whole-scene blocks cannot shape dummy dispatches"
+    for _ in range(n_max - dispatches[0]):
+        eval_logits_fn(template[0])
     return metrics.allreduced().result(log_fn, prefix="eval whole scene")
 
 

@@ -80,6 +80,23 @@ def allreduce_sum(x):
     return np.asarray(multihost_utils.process_allgather(np.asarray(x))).sum(0)
 
 
+def to_local_numpy(x, mesh, spec):
+    """This process's shard of a batch-sharded jax.Array as numpy.
+
+    Host-sharded evaluation feeds local rows through a global shard_map
+    dispatch; the output rows matching THIS host's inputs are its local
+    shard (a global fetch would pair other hosts' logits with local
+    labels). Single-process: plain asarray."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.global_array_to_host_local_array(x, mesh, spec))
+
+
 def barrier(name: str) -> None:
     """Block until every process reaches this point (no-op on one)."""
     if jax.process_count() > 1:

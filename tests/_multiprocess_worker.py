@@ -53,8 +53,31 @@ def run_fit(pid: int, nproc: int, log_dir: str) -> None:
     state2 = trainer2.fit(train_ds, eval_dataset=eval_ds)
     acc2 = trainer2.eval_epoch(state2, eval_ds, epoch=99)
     meta = ckpt.load_meta(log_dir)
+
+    # Host-sharded VOTING protocol (cli.evaluate --multihost): uneven
+    # shards (3 vs 4 local batches) force the lockstep dummy-batch path,
+    # and the allreduced counters must see all 25 global shapes.
+    from pointnet2_tpu.evaluation import evaluate_cls_voting
+    from pointnet2_tpu.parallel.mesh import shard_batch
+
+    from jax.sharding import PartitionSpec as P
+
+    from pointnet2_tpu.parallel.mesh import DATA_AXIS
+    from pointnet2_tpu.parallel.multihost import to_local_numpy
+
+    def logits_fn(points):
+        batch = {"points": np.asarray(points, np.float32),
+                 "label": np.zeros(points.shape[0], np.int32)}
+        db = shard_batch(trainer2.mesh, trainer2._device_view(batch))
+        return to_local_numpy(trainer2.eval_step(state2, db),
+                              trainer2.mesh, P(DATA_AXIS))
+
+    res = evaluate_cls_voting(logits_fn, eval_ds, num_votes=2,
+                              num_classes=5, rng=0, log_fn=lambda m: None)
     print(f"FIT_RESULT pid={pid} acc={acc:.6f} acc2={acc2:.6f} "
           f"step={int(state2.step)} epoch={meta['epoch']}", flush=True)
+    print(f"VOTE_RESULT pid={pid} acc={res['accuracy']:.6f} "
+          f"seen={int(res['per_class_seen'].sum())}", flush=True)
 
 
 def main() -> None:

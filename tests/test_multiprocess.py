@@ -69,11 +69,18 @@ def test_two_process_full_fit_eval_ckpt_resume(tmp_path):
         m = re.search(r"FIT_RESULT pid=\d acc=([0-9.]+) acc2=([0-9.]+) "
                       r"step=(\d+) epoch=(\d+)", stdout)
         assert m, stdout + stderr[-1000:]
-        results.append(tuple(float(g) for g in m.groups()))
+        v = re.search(r"VOTE_RESULT pid=\d acc=([0-9.]+) seen=(\d+)",
+                      stdout)
+        assert v, stdout + stderr[-1000:]
+        # voting counters are allreduced: every host reports the GLOBAL
+        # 25 shapes despite holding only 12 or 13 locally
+        assert int(v.group(2)) == 25, stdout
+        results.append(tuple(float(g) for g in m.groups())
+                       + (float(v.group(1)),))
 
     # both processes report identical replicated metrics and bookkeeping
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
-    acc, acc2, step, epoch = results[0]
+    acc, acc2, step, epoch, _vote_acc = results[0]
     # 25 items over 2 hosts -> min 3 lockstep batches/epoch, 3 total epochs
     # (2 in the first fit + 1 after resume); meta records completed epochs
     assert step == 9 and epoch == 3
