@@ -38,9 +38,10 @@ BASELINE_CLOUDS_PER_SEC = 600.0
 
 # Roofline context (v5e single chip, benchmarks/kernels.py calibration):
 # MFU is achieved flops / MXU bf16 peak; hbm_gbps is XLA's bytes-accessed
-# estimate over wall time. A ~2M-param 1024-pt model is memory/latency
-# bound, so single-digit MFU is expected — the roofline columns exist so
-# "fast" is judged against the hardware, not only the estimated anchor.
+# estimate over wall time. The step is HBM-bandwidth-bound: ~19% MFU at
+# ~740 GB/s, ~90% of the XLA-achievable bandwidth on this platform
+# (docs/PERF.md roofline section; B-sweep in BENCH_SWEEP_r03.json shows
+# throughput flat in batch, i.e. saturated at the reference's B=32).
 MXU_BF16_TFLOPS = 197.0
 
 BATCH = 32
@@ -154,12 +155,22 @@ def main() -> None:
         # On the headline run n_dev=1 so the two conventions coincide; if
         # a multi-chip backend reports post-partitioning per-device HLO
         # instead, drop the /n_dev below before trusting MFU there.
+        #
+        # XLA cost analysis counts a while/scan BODY ONCE, not times its
+        # trip count — this program scans STEPS_PER_CALL train steps, so
+        # flops/bytes must be scaled by it. (Verified against the scan-
+        # free per-step program in benchmarks/models.py: one step is
+        # ~3.6e11 flops at B=32; the unscaled scan program reported
+        # exactly that for 25 steps, which is how rounds 1-2 published a
+        # 25x-undercounted 0.74% MFU / 29 GB/s. True: ~19% MFU at
+        # ~600-740 GB/s — bandwidth-saturated, BENCH_SWEEP_r03.json.)
         per_call_s = dt / MEASURE_CALLS
-        tflops = cost["flops"] / per_call_s / 1e12 / n_dev
+        scale = STEPS_PER_CALL
+        tflops = cost["flops"] * scale / per_call_s / 1e12 / n_dev
         record["achieved_tflops_per_chip"] = round(tflops, 3)
         record["mfu"] = round(tflops / MXU_BF16_TFLOPS, 4)
         record["hbm_gbps"] = round(
-            cost["bytes_accessed"] / per_call_s / 1e9 / n_dev, 1)
+            cost["bytes_accessed"] * scale / per_call_s / 1e9 / n_dev, 1)
     watchdog.close()
     print(json.dumps(record))
 
