@@ -100,9 +100,14 @@ def render(points: np.ndarray, colors: np.ndarray | None = None,
     image = np.zeros((canvas, canvas, 3), np.uint8)
     image[:] = background
     if lib:
+        # Bind the marshalled arrays to locals: taking .ctypes.data of an
+        # unreferenced temporary (e.g. astype(...).ctypes.data) hands the
+        # C call a pointer the allocator may reuse mid-render — observed
+        # as nondeterministically blank frames.
+        proj32 = np.ascontiguousarray(proj, np.float32)
+        colors8 = np.ascontiguousarray(colors, np.uint8)
         lib.render_balls(canvas, canvas, image.ctypes.data, n,
-                         proj.astype(np.float32).ctypes.data,
-                         np.ascontiguousarray(colors).ctypes.data,
+                         proj32.ctypes.data, colors8.ctypes.data,
                          radii.ctypes.data)
     else:
         image = _render_numpy(canvas, canvas, proj, colors, radii)
