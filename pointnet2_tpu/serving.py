@@ -164,6 +164,73 @@ class Predictor:
         return vote_logits(self, np.asarray(points, np.float32), num_votes,
                            rng)
 
+    def predict_scene(self, points, npoints: int = 8192,
+                      seed: int = 0) -> dict:
+        """Segment a whole scene: per-point labels for arbitrary-size
+        scenes through the compiled fixed-shape endpoint.
+
+        Productizes the whole-scene protocol (scannet/train.py:326-427 is
+        eval-only in the reference): the scene is tiled into the standard
+        1.5 m columns with 0.2 m overlap (ScannetDatasetWholeScene.
+        block_members), but unlike the eval protocol's one random
+        npoints-sample per block, EVERY member point is covered — each
+        block's members are shuffled, padded to a multiple of `npoints`
+        (pad rows drawn from the block), and chunked. Overlap points get
+        logit votes from up to 4 blocks, summed before the argmax — the
+        0.2 m overlap becomes a free ensemble.
+
+        Returns {"labels" (N,) int32, "logits" (N, K) float32,
+        "votes" (N,) int32 (blocks that scored each point)}.
+        """
+        if self.task != "sem_seg":
+            raise ValueError("predict_scene is for sem_seg models")
+        from pointnet2_tpu.data.scannet import ScannetDatasetWholeScene
+
+        pts = np.asarray(points, np.float32)
+        n = len(pts)
+        rng = np.random.default_rng(seed)
+        coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
+        nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5)) or 1
+        ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5)) or 1
+        pairs = ScannetDatasetWholeScene.block_members(pts, coordmin,
+                                                       nx, ny)
+        block_ids, starts = np.unique(pairs[:, 0], return_index=True)
+        ends = np.append(starts[1:], len(pairs))
+
+        chunks = []  # (member-index chunk, valid count)
+        for s, e in zip(starts, ends):
+            member = pairs[s:e, 1].copy()
+            rng.shuffle(member)
+            for off in range(0, len(member), npoints):
+                chunk = member[off:off + npoints]
+                valid = len(chunk)
+                if valid < npoints:  # pad from the block (votes ignored)
+                    extra = member[rng.integers(len(member),
+                                                size=npoints - valid)]
+                    chunk = np.concatenate([chunk, extra])
+                chunks.append((chunk, valid))
+
+        K = None
+        logit_sum = None
+        votes = np.zeros(n, np.int32)
+        max_bucket = self._buckets[-1]
+        for s in range(0, len(chunks), max_bucket):
+            group = chunks[s:s + max_bucket]
+            batch = np.stack([pts[c] for c, _ in group])
+            logits = self(batch)  # (B, npoints, K) via the bucketed path
+            if logit_sum is None:
+                K = logits.shape[-1]
+                logit_sum = np.zeros((n, K), np.float32)
+            for (chunk, valid), lg in zip(group, logits):
+                np.add.at(logit_sum, chunk[:valid], lg[:valid])
+                np.add.at(votes, chunk[:valid], 1)
+        if logit_sum is None:  # empty scene
+            return {"labels": np.zeros(0, np.int32),
+                    "logits": np.zeros((0, 0), np.float32),
+                    "votes": votes}
+        return {"labels": logit_sum.argmax(-1).astype(np.int32),
+                "logits": logit_sum, "votes": votes}
+
     # -- construction ------------------------------------------------------
 
     @classmethod

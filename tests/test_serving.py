@@ -118,3 +118,34 @@ def test_empty_batch(rng):
     pred = Predictor("pointnet2_cls_ssg", variables, dtype=None, buckets=(4,))
     out = pred(np.zeros((0, 128, 3), np.float32))
     assert out.shape == (0, 40) and out.dtype == np.float32
+
+
+def test_predict_scene_full_coverage(rng):
+    """Whole-scene serving: every point of an arbitrary-size scene gets a
+    label; overlap points collect multiple block votes; non-sem_seg
+    models refuse. Contract-level (random weights)."""
+    variables = _init_variables("pointnet2_sem_seg", num_point=128)
+    pred = Predictor("pointnet2_sem_seg", variables, dtype=None,
+                     buckets=(2, 4))
+    # a 3.2 x 1.1 m scene -> 3 x 1 blocks with 0.2 m overlap columns
+    pts = rng.rand(5000, 3).astype(np.float32) * [3.2, 1.1, 2.5]
+    out = pred.predict_scene(pts, npoints=128, seed=0)
+    assert out["labels"].shape == (5000,)
+    assert out["logits"].shape == (5000, 21)
+    assert (out["votes"] >= 1).all(), "every point must be scored"
+    assert (out["votes"] <= 4).all()
+    # points in the overlap band between blocks 0 and 1 get >= 2 votes
+    band = (pts[:, 0] > 1.35) & (pts[:, 0] < 1.65)
+    assert (out["votes"][band] >= 2).all()
+    # labels are the argmax of the summed logits
+    np.testing.assert_array_equal(out["labels"],
+                                  out["logits"].argmax(-1))
+    # deterministic for a fixed seed
+    out2 = pred.predict_scene(pts, npoints=128, seed=0)
+    np.testing.assert_array_equal(out["labels"], out2["labels"])
+
+    cls_vars = _init_variables("pointnet2_cls_ssg")
+    cls_pred = Predictor("pointnet2_cls_ssg", cls_vars, dtype=None,
+                         buckets=(2,))
+    with pytest.raises(ValueError, match="sem_seg"):
+        cls_pred.predict_scene(pts)
