@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initialize jax.distributed; --batch_size is the "
                         "GLOBAL batch, data is sharded per host (parity "
                         "with cli.train --multihost)")
+    p.add_argument("--out", default=None,
+                   help="write the protocol metrics as JSON here "
+                        "(primary process only)")
     return p
 
 
@@ -94,11 +97,11 @@ def main(argv=None) -> None:
             return to_local_numpy(trainer.eval_step(state, db),
                                   trainer.mesh, P(DATA_AXIS))
 
-        evaluate_cls_voting(logits_fn, test_ds, num_votes=args.num_votes,
-                            num_classes=(args.num_classes
-                                         if args.num_classes is not None
-                                         else 40),
-                            rng=0, log_fn=trainer.log)
+        results = evaluate_cls_voting(
+            logits_fn, test_ds, num_votes=args.num_votes,
+            num_classes=(args.num_classes
+                         if args.num_classes is not None else 40),
+            rng=0, log_fn=trainer.log)
     elif task in ("part_seg", "part_seg_one_hot"):
         def logits_fn(batch):
             db = shard_batch(trainer.mesh, trainer._device_view(
@@ -107,9 +110,9 @@ def main(argv=None) -> None:
             return to_local_numpy(trainer.eval_step(state, db),
                                   trainer.mesh, P(DATA_AXIS))
 
-        evaluate_part_seg_voting(logits_fn, test_ds,
-                                 num_votes=args.num_votes, rng=0,
-                                 log_fn=trainer.log)
+        results = evaluate_part_seg_voting(logits_fn, test_ds,
+                                           num_votes=args.num_votes,
+                                           rng=0, log_fn=trainer.log)
     else:  # sem_seg
         def logits_fn(batch):
             db = shard_batch(trainer.mesh, trainer._device_view(
@@ -118,8 +121,8 @@ def main(argv=None) -> None:
             return to_local_numpy(trainer.eval_step(state, db),
                                   trainer.mesh, P(DATA_AXIS))
 
-        evaluate_scannet_chopped(logits_fn, test_ds, rng=0,
-                                 log_fn=trainer.log)
+        chopped = evaluate_scannet_chopped(logits_fn, test_ds, rng=0,
+                                           log_fn=trainer.log)
         from pointnet2_tpu.data import (
             ScannetDatasetWholeScene,
             make_synthetic_scenes,
@@ -138,9 +141,30 @@ def main(argv=None) -> None:
                                              npoints=args.num_point,
                                              split="test",
                                              process_shard=shard)
-        evaluate_scannet_whole_scene(logits_fn, whole,
-                                     batch_size=args.batch_size,
-                                     log_fn=trainer.log)
+        whole_res = evaluate_scannet_whole_scene(
+            logits_fn, whole, batch_size=args.batch_size,
+            log_fn=trainer.log)
+        results = {"chopped": chopped, "whole_scene": whole_res}
+
+    if args.out:
+        import json
+
+        from pointnet2_tpu.parallel import multihost
+
+        if multihost.is_primary():
+            def _clean(v):
+                if isinstance(v, dict):
+                    return {k: _clean(x) for k, x in v.items()}
+                if isinstance(v, np.ndarray):
+                    return v.tolist()
+                return v
+
+            record = {"model": args.model, "ckpt": args.ckpt,
+                      "step": int(state.step),
+                      "num_votes": args.num_votes, "metrics": _clean(results)}
+            with open(args.out, "w") as f:
+                json.dump(record, f, indent=1)
+            trainer.log(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
