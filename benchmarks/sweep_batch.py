@@ -51,14 +51,15 @@ def main() -> None:
             print(json.dumps(row), flush=True)
     # name the peak configuration explicitly
     ok = [r for r in results if "error" not in r]
-    peak = max(ok, key=lambda r: r["train_clouds_per_sec"])
-    summary = {"rows": results,
-               "peak": {k: peak[k] for k in ("model", "batch", "npoint",
-                                             "train_clouds_per_sec")
-                        if k in peak}}
-    for k in ("train_mfu", "train_tflops", "train_hbm_gbps"):
-        if k in peak:
-            summary["peak"][k] = peak[k]
+    summary = {"rows": results, "peak": {}}
+    if ok:
+        peak = max(ok, key=lambda r: r["train_clouds_per_sec"])
+        summary["peak"] = {k: peak[k] for k in ("model", "batch", "npoint",
+                                                "train_clouds_per_sec")
+                           if k in peak}
+        for k in ("train_mfu", "train_tflops", "train_hbm_gbps"):
+            if k in peak:
+                summary["peak"][k] = peak[k]
     print(json.dumps(summary["peak"]))
     if args.out:
         with open(args.out, "w") as f:

@@ -212,9 +212,14 @@ def main(argv=None) -> None:
     if getattr(args, "model_kwargs", None):
         import json
 
-        # JSON lists -> tuples (flax dataclass fields expect hashables)
+        # JSON lists -> tuples, recursively: flax dataclass fields expect
+        # hashables, and nested widths like [[64,64],[128,128]] must become
+        # tuples of tuples, not a tuple of lists.
+        def _tuplify(v):
+            return tuple(_tuplify(x) for x in v) if isinstance(v, list) else v
+
         model_kwargs.update({
-            k: tuple(v) if isinstance(v, list) else v
+            k: _tuplify(v)
             for k, v in json.loads(args.model_kwargs).items()})
     if args.num_classes is not None:
         key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"

@@ -370,8 +370,10 @@ class ScannetDatasetWholeScene(_ScannetBase):
         pairs = self.block_members(pts, coordmin, nx, ny)
         block_ids, starts = np.unique(pairs[:, 0], return_index=True)
         counts = np.append(starts[1:], len(pairs)) - starts
-        tiling = (pairs[:, 1].copy(), block_ids, starts, counts, ny,
-                  coordmin, coordmax)
+        tiling = (pairs[:, 1].astype(np.int32), block_ids, starts, counts,
+                  ny, coordmin, coordmax)
+        if len(self._tiling_cache) >= 256:  # bound host memory on big evals
+            self._tiling_cache.pop(next(iter(self._tiling_cache)))
         self._tiling_cache[index] = tiling
         return tiling
 

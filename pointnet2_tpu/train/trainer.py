@@ -377,8 +377,14 @@ class Trainer:
         # A resumed run must not let its first eval clobber a better
         # best-checkpoint from before the interruption: the selection
         # score rides in the best ckpt's sidecar meta.
-        best_meta = ckpt.load_meta(self.config.log_dir, name="best")
-        best_score = float((best_meta or {}).get("score") or -1.0)
+        # Only a resumed run inherits the sidecar score: a fresh fit in a
+        # reused log_dir must remain free to overwrite a stale best ckpt,
+        # and a legitimate score of 0.0 must not read as missing.
+        best_score = -float("inf")
+        if meta is not None:
+            best_meta = ckpt.load_meta(self.config.log_dir, name="best")
+            if best_meta is not None and best_meta.get("score") is not None:
+                best_score = float(best_meta["score"])
         every = max(1, self.config.eval_every)
         for epoch in range(start_epoch, max_epoch):
             state = self.train_epoch(state, train_dataset, epoch)
