@@ -218,3 +218,103 @@ def test_sa_msg_fused_first_layer_matches_unfused(rng):
     tol = 2e-2 if jax.default_backend() == "tpu" else 1e-4
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=tol, atol=tol * 0.3)
+
+
+def _randomized_sa_variables(model, xyz, pts, seed=3):
+    """init, then randomize every param and running stat so the golden
+    comparison discriminates BN scale/bias/mean/var handling (fresh init
+    stats are mean=0/var=1, which would make BN nearly a no-op)."""
+    v = model.init(jax.random.PRNGKey(0), xyz, pts, train=False)
+    flat, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(flat))
+    flat = [jax.random.normal(k, leaf.shape, leaf.dtype) * 0.5
+            for k, leaf in zip(keys, flat)]
+    v = jax.tree_util.tree_unflatten(treedef, flat)
+    # variances must be positive
+    bs = jax.tree_util.tree_map(lambda x: jnp.abs(x) + 0.3, v["batch_stats"])
+    return {"params": v["params"], "batch_stats": bs}
+
+
+@pytest.mark.parametrize("pooling", ["max", "avg", "weighted_avg",
+                                     "max_and_avg"])
+@pytest.mark.parametrize("fuse", [True, False])
+def test_sa_pooling_modes_match_numpy_golden(rng, pooling, fuse):
+    """Every pooling mode of pointnet_sa_module (utils/pointnet_util.py:
+    126-140) against an eval-mode numpy golden with randomized params."""
+    from pointnet2_tpu.nn.pointnet import SetAbstraction
+    from tests import golden
+
+    xyz = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    pts = jnp.asarray(rng.rand(2, 96, 7).astype(np.float32))
+    sa = SetAbstraction(24, 0.3, 8, (16, 32), pooling=pooling,
+                        fuse_first=fuse)
+    v = _randomized_sa_variables(sa, xyz, pts)
+    nxyz, out, _ = jax.jit(
+        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    want_xyz, want = golden.sa_module_np(
+        jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
+        np.asarray(pts), 24, 0.3, 8, pooling=pooling)
+    np.testing.assert_allclose(np.asarray(nxyz), want_xyz, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_sa_knn_matches_numpy_golden(rng, fuse):
+    """knn=True grouping (tf_grouping.py:48-73 selection-sort semantics)
+    through the SA module, fused and unfused."""
+    from pointnet2_tpu.nn.pointnet import SetAbstraction
+    from tests import golden
+
+    xyz = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    pts = jnp.asarray(rng.rand(2, 96, 7).astype(np.float32))
+    sa = SetAbstraction(24, None, 8, (16, 32), knn=True, fuse_first=fuse)
+    v = _randomized_sa_variables(sa, xyz, pts)
+    nxyz, out, idx = jax.jit(
+        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    want_xyz, want = golden.sa_module_np(
+        jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
+        np.asarray(pts), 24, None, 8, knn=True)
+    np.testing.assert_allclose(np.asarray(nxyz), want_xyz, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("group_all", [False, True])
+def test_sa_mlp2_matches_numpy_golden(rng, group_all):
+    """The optional post-pooling mlp2 stack (utils/pointnet_util.py:143-151)."""
+    from pointnet2_tpu.nn.pointnet import SetAbstraction
+    from tests import golden
+
+    xyz = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    pts = jnp.asarray(rng.rand(2, 96, 7).astype(np.float32))
+    sa = SetAbstraction(None if group_all else 24, 0.3,
+                        None if group_all else 8, (16, 32), mlp2=(24, 12),
+                        group_all=group_all)
+    v = _randomized_sa_variables(sa, xyz, pts)
+    _, out, _ = jax.jit(
+        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    _, want = golden.sa_module_np(
+        jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
+        np.asarray(pts), 24, 0.3, 8, group_all=group_all, has_mlp2=True)
+    assert out.shape == want.shape == (2, 1 if group_all else 24, 12)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("pooling", ["avg", "weighted_avg", "max_and_avg"])
+def test_sa_pooling_modes_train_step(rng, pooling):
+    """Non-default pooling modes must also be trainable (finite grads)."""
+    from pointnet2_tpu.nn.pointnet import SetAbstraction
+
+    xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    pts = jnp.asarray(rng.rand(2, 64, 4).astype(np.float32))
+    sa = SetAbstraction(16, 0.3, 8, (8, 16), pooling=pooling)
+    v = sa.init(jax.random.PRNGKey(0), xyz, pts, train=True)
+
+    def loss_fn(params):
+        (_, out, _), _ = sa.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, xyz, pts,
+            train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    grads = jax.jit(jax.grad(loss_fn))(v["params"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.isfinite(leaf).all())
