@@ -328,19 +328,59 @@ class FeaturePropagation(nn.Module):
     layer round-trips device->host); here they are on-device XLA.
     Distances are stop_gradient'ed: the reference defines no gradient for
     the interpolation weights (tf_interpolate.py:29-34).
+
+    TPU-first layout (``fuse_first=True``, the default): the first MLP
+    dense is linear and the interpolation weights sum to 1, so the dense
+    commutes with the interpolation *exactly* (the bias rides through the
+    affine combination):
+
+        Dense(concat[interp(p2), p1])
+          == interp(Dense_2(p2) + b) + Dense_1(p1)
+
+    The p2 half of the dense therefore runs on the M sparse points (4-8x
+    fewer rows than the N dense points), and the pre-dense interpolated
+    tensor plus the (N, C1+C2) concat never materialize — only mlp[0]-wide
+    rows move at N. Numerics differ from the reference layout only by
+    float reassociation.
     """
 
     mlp: Sequence[int]
     bn: bool = True
     dtype: Any = None
+    fuse_first: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.mlp_mod = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype,
+                                 name="mlp")
+
     def __call__(self, xyz1, xyz2, points1, points2, train: bool = False,
                  bn_momentum: jax.Array | float = 0.9):
         dist, idx = three_nn(xyz1, xyz2)
         dist = jax.lax.stop_gradient(jnp.maximum(dist, 1e-10))
         inv = 1.0 / dist
         weight = inv / jnp.sum(inv, axis=2, keepdims=True)
+        if self.fuse_first:
+            dt = self.dtype or points2.dtype
+            p2 = points2.astype(dt)
+            if points1 is not None:
+                p1 = points1.astype(dt)
+                (B, M, C2), N, C1 = p2.shape, p1.shape[1], p1.shape[-1]
+                # Split the first dense around the concat: kernel rows
+                # [0:C2] act on the interpolated features, rows [C2:] on
+                # the skip. The zero blocks constant-fold in XLA (the
+                # _lifted_center_term pattern), and the bias (in lifted2)
+                # is counted exactly once.
+                lifted2 = self.mlp_mod.lift_first(
+                    jnp.concatenate([p2, jnp.zeros((B, M, C1), dt)], -1))
+                z = jnp.concatenate([jnp.zeros((B, N, C2), dt), p1], -1)
+                lifted1 = (self.mlp_mod.lift_first(z)
+                           - self.mlp_mod.lift_first(jnp.zeros_like(z)))
+                pre = (three_interpolate(lifted2, idx, weight).astype(dt)
+                       + lifted1)
+            else:
+                lifted2 = self.mlp_mod.lift_first(p2)
+                pre = three_interpolate(lifted2, idx, weight).astype(dt)
+            return self.mlp_mod.finish_first(pre, train, bn_momentum)
         interpolated = three_interpolate(points2, idx, weight)
         if points1 is not None:
             new_points = jnp.concatenate([interpolated, points1], axis=2)
@@ -348,5 +388,4 @@ class FeaturePropagation(nn.Module):
             new_points = interpolated
         if self.dtype is not None:
             new_points = new_points.astype(self.dtype)
-        return SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp")(
-            new_points, train, bn_momentum)
+        return self.mlp_mod(new_points, train, bn_momentum)

@@ -67,12 +67,14 @@ def _finalize(local_fn, mesh: Mesh | None, batch_spec):
 
 
 def make_train_step(model, loss_fn, tx, bn_momentum_fn, task: str = "cls",
-                    mesh: Mesh | None = None, augment: str = "none"):
+                    mesh: Mesh | None = None, augment: str = "none",
+                    remat: str = "none"):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, rng) -> (state, metrics). With a mesh, the
     batch is consumed sharded over DATA_AXIS and the state stays replicated;
-    without one, the same math runs single-device.
+    without one, the same math runs single-device. `remat` selects a
+    backward-pass rematerialization policy (steps_body.REMAT_POLICIES).
     """
     augment_fn = AUGMENTATIONS[augment]
 
@@ -80,14 +82,15 @@ def make_train_step(model, loss_fn, tx, bn_momentum_fn, task: str = "cls",
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         return run_one_step(model, loss_fn, tx, bn_momentum_fn, task,
-                            augment_fn, mesh is not None, state, batch, rng)
+                            augment_fn, mesh is not None, state, batch, rng,
+                            remat=remat)
 
     return _finalize(local_step, mesh, P(DATA_AXIS))
 
 
 def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
                           task: str = "cls", mesh: Mesh | None = None,
-                          augment: str = "none"):
+                          augment: str = "none", remat: str = "none"):
     """Build a jitted K-steps-per-dispatch train step (lax.scan inside one
     executable).
 
@@ -109,7 +112,7 @@ def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
             i, batch = xs
             return run_one_step(model, loss_fn, tx, bn_momentum_fn, task,
                                 augment_fn, mesh is not None, state, batch,
-                                jax.random.fold_in(rng, i))
+                                jax.random.fold_in(rng, i), remat=remat)
 
         steps = jnp.arange(nsteps, dtype=jnp.int32)
         return jax.lax.scan(body, state, (steps, batches))

@@ -39,15 +39,30 @@ def _accuracy(logits, batch, task):
     return jnp.mean(jnp.argmax(logits, -1) == batch["seg"])
 
 
+# Rematerialization policies for the backward pass. The train step is
+# HBM-bandwidth bound (docs/PERF.md) and its residuals are dominated by the
+# wide grouped (B, npoint, nsample, C) activations, so recomputing cheap
+# elementwise chains instead of saving them can eliminate whole memory
+# passes. "dots" saves matmul outputs only (BN/ReLU chains recompute);
+# "full" saves nothing inside the model.
+REMAT_POLICIES: dict[str, object] = {
+    "none": None,
+    "full": "full",  # jax.checkpoint default: nothing saveable
+    "dots": jax.checkpoint_policies.dots_saveable,
+    "dots_nobatch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
 def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
                  mesh_present: bool, state: TrainState, batch: dict,
-                 step_rng: jax.Array):
+                 step_rng: jax.Array, remat: str = "none"):
     """One forward/backward/optimizer step on already-per-replica data.
 
     `step_rng` must already be folded with the replica index (and, for
     scanned multi-step execution, the step index). Returns
     (new_state, {"loss", "accuracy"}) with scalars pmean'd over the data
-    axis when running under shard_map.
+    axis when running under shard_map. `remat` selects a REMAT_POLICIES
+    entry applied around the model forward.
     """
     aug_rng, dropout_rng = jax.random.split(step_rng)
     if augment_fn is not None:
@@ -65,6 +80,10 @@ def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
         loss = loss_fn(logits, *_loss_args(batch, task))
         return loss, (logits, mutated["batch_stats"])
 
+    policy = REMAT_POLICIES[remat]
+    if policy is not None:
+        loss_of = (jax.checkpoint(loss_of) if policy == "full"
+                   else jax.checkpoint(loss_of, policy=policy))
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
         loss_of, has_aux=True)(state.params)
     acc = _accuracy(logits, batch, task)

@@ -88,3 +88,34 @@ def test_parallel_map_order_and_laziness():
     head = [next(it) for _ in range(3)]
     assert head == [0, 1, 2]
     assert len(consumed) < 50
+
+
+def test_plot_metrics_cli(tmp_path):
+    """Learning-curve PNGs from a run dir (the TensorBoard-scalar gap,
+    reference train.py:118,125-131)."""
+    import json
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rows = [
+        {"epoch": 0, "split": "train", "loss": 2.0, "accuracy": 0.1,
+         "learning_rate": 1e-3, "step": 10},
+        {"epoch": 0, "split": "eval", "accuracy": 0.2},
+        {"epoch": 1, "split": "train", "loss": 1.0, "accuracy": 0.5,
+         "learning_rate": 9e-4, "step": 20},
+        {"epoch": 1, "split": "eval", "accuracy": 0.4},
+    ]
+    with open(run / "metrics.jsonl", "w") as fp:
+        for r in rows:
+            fp.write(json.dumps(r) + "\n")
+        fp.write('{"torn line\n')  # killed-run tail must not crash the tool
+
+    from pointnet2_tpu.cli import plot_metrics
+
+    out = tmp_path / "curves.png"
+    plot_metrics.main([str(run), "--out", str(out)])
+    assert out.is_file() and out.stat().st_size > 1000
+
+    series = plot_metrics.load_metrics(str(run))
+    assert series[("train", "loss")] == [(0.0, 2.0), (1.0, 1.0)]
+    assert series[("eval", "accuracy")] == [(0.0, 0.2), (1.0, 0.4)]

@@ -318,3 +318,56 @@ def test_sa_pooling_modes_train_step(rng, pooling):
     grads = jax.jit(jax.grad(loss_fn))(v["params"])
     for leaf in jax.tree_util.tree_leaves(grads):
         assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.parametrize("use_skip", [True, False])
+def test_fp_fused_first_layer_matches_unfused(rng, use_skip):
+    """The lifted-dense FP layout (dense commutes with the affine
+    interpolation because the 3 weights sum to 1) must match the reference
+    layout up to float reassociation."""
+    from pointnet2_tpu.nn.pointnet import FeaturePropagation
+
+    xyz1 = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.rand(2, 32, 3).astype(np.float32))
+    p1 = (jnp.asarray(rng.rand(2, 128, 9).astype(np.float32))
+          if use_skip else None)
+    p2 = jnp.asarray(rng.rand(2, 32, 16).astype(np.float32))
+    fused = FeaturePropagation((16, 8), fuse_first=True)
+    plain = FeaturePropagation((16, 8), fuse_first=False)
+    v = fused.init(jax.random.PRNGKey(0), xyz1, xyz2, p1, p2, train=False)
+    got = fused.apply(v, xyz1, xyz2, p1, p2, train=False)
+    want = plain.apply(v, xyz1, xyz2, p1, p2, train=False)
+    tol = 2e-2 if jax.default_backend() == "tpu" else 1e-4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol * 0.3)
+    # gradients flow through both layouts identically (scatter-add vjp)
+    def loss(v, fp):
+        out, _ = fp.apply(v, xyz1, xyz2, p1, p2, train=True,
+                          mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(lambda v: loss(v, fused))({"params": v["params"],
+                                             "batch_stats": v["batch_stats"]})
+    g2 = jax.grad(lambda v: loss(v, plain))({"params": v["params"],
+                                             "batch_stats": v["batch_stats"]})
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_fp_fused_few_known_points(rng):
+    """M < 3 known points: missing 3-NN slots carry zero weight; the
+    weights still sum to 1 so the lifted bias stays exact."""
+    from pointnet2_tpu.nn.pointnet import FeaturePropagation
+
+    xyz1 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.rand(2, 2, 3).astype(np.float32))
+    p2 = jnp.asarray(rng.rand(2, 2, 8).astype(np.float32))
+    fused = FeaturePropagation((8,), fuse_first=True)
+    plain = FeaturePropagation((8,), fuse_first=False)
+    v = fused.init(jax.random.PRNGKey(0), xyz1, xyz2, None, p2, train=False)
+    got = fused.apply(v, xyz1, xyz2, None, p2, train=False)
+    want = plain.apply(v, xyz1, xyz2, None, p2, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

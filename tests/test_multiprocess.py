@@ -120,3 +120,45 @@ def test_two_process_distributed_step_matches_single_process():
     # the sharded step is device-count invariant; process layout must not
     # change the numbers either
     np.testing.assert_allclose(outs[0], ref, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_four_process_fit_uneven_shards(tmp_path):
+    """The lockstep machinery at n=4 processes (2 virtual devices each):
+    25 items shard 7/6/6/6, so train epochs sync to the min batch count
+    (3), protocol eval pads the three short hosts with a zero batch to the
+    max (4), and the voting counters still allreduce to all 25 shapes.
+    n=2 (above) cannot catch deadlocks where several hosts wait on one
+    remainder host — this layout has three."""
+    port = _free_port()
+    log_dir = str(tmp_path / "fitlog4")
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), "4", str(port), log_dir, "fit"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(_WORKER))) for pid in range(4)]
+    results = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        m = re.search(r"FIT_RESULT pid=\d acc=([0-9.]+) acc2=([0-9.]+) "
+                      r"step=(\d+) epoch=(\d+)", stdout)
+        assert m, stdout + stderr[-1000:]
+        v = re.search(r"VOTE_RESULT pid=\d acc=([0-9.]+) seen=(\d+)", stdout)
+        assert v, stdout + stderr[-1000:]
+        assert int(v.group(2)) == 25, stdout
+        results.append(tuple(float(g) for g in m.groups())
+                       + (float(v.group(1)),))
+
+    for r in results[1:]:
+        np.testing.assert_allclose(results[0], r, rtol=1e-6)
+    acc, acc2, step, epoch, _vote_acc = results[0]
+    # 25 items over 4 hosts -> 7/6/6/6 items -> 4/3/3/3 local batches ->
+    # min 3 lockstep steps/epoch, 3 total epochs (2 + 1 after resume)
+    assert step == 9 and epoch == 3
+    assert os.path.isdir(os.path.join(log_dir, "ckpt"))
+    assert os.path.isfile(os.path.join(log_dir, "ckpt.meta.json"))
