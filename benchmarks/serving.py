@@ -1,0 +1,109 @@
+"""Serving benchmark: Predictor latency/throughput on the real chip.
+
+Measures the deployment surface end-to-end as a client sees it — host
+wall-clock around each call, including padding, host->device transfer, and
+logit fetch (unlike the on-device loops elsewhere in benchmarks/):
+
+- per-bucket latency (p50/p95 over repeated calls) for the classifier;
+- large-request throughput streaming through the largest bucket;
+- 12-vote ensemble latency (the evaluate.py protocol as a serving call);
+- whole-scene segmentation (predict_scene) on a procedural room.
+
+Run: python benchmarks/serving.py [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from pointnet2_tpu.serving import Predictor
+
+N_CLS = 1024
+
+
+def _fresh_predictor(model: str, num_point: int, in_channels: int = 3,
+                     **kw) -> Predictor:
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.models import MODEL_REGISTRY
+
+    spec = MODEL_REGISTRY[model]
+    m = spec.cls(dtype=jnp.bfloat16)
+    pts = jnp.zeros((1, num_point, in_channels), jnp.float32)
+    variables = jax.jit(lambda r, p: m.init(r, p, train=False))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pts)
+    return Predictor(model, variables, **kw)
+
+
+def _timed_calls(fn, calls: int = 30, warmup: int = 3):
+    for _ in range(warmup):
+        np.asarray(fn()).ravel()[0]
+    ts = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        out = fn()
+        np.asarray(out).ravel()[0]  # client-visible fence
+        ts.append(time.perf_counter() - t0)
+    ts = np.sort(ts)
+    return {"p50_ms": round(float(np.median(ts)) * 1e3, 2),
+            "p95_ms": round(float(ts[int(0.95 * len(ts))]) * 1e3, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    rng = np.random.RandomState(0)
+    res = {"backend": jax.default_backend()}
+
+    cls = _fresh_predictor("pointnet2_cls_ssg", N_CLS)
+    for b in (1, 4, 16, 64):
+        pts = rng.rand(b, N_CLS, 3).astype(np.float32)
+        row = _timed_calls(lambda: cls(pts))
+        row["clouds_per_sec"] = round(b / (row["p50_ms"] / 1e3), 1)
+        res[f"cls_b{b}"] = row
+        print(f"cls_b{b}", json.dumps(row), flush=True)
+
+    # large request streamed through the biggest bucket
+    big = rng.rand(512, N_CLS, 3).astype(np.float32)
+    row = _timed_calls(lambda: cls(big), calls=10)
+    row["clouds_per_sec"] = round(512 / (row["p50_ms"] / 1e3), 1)
+    res["cls_b512_stream"] = row
+    print("cls_b512_stream", json.dumps(row), flush=True)
+
+    votes_in = rng.rand(16, N_CLS, 3).astype(np.float32)
+    row = _timed_calls(lambda: cls.predict_votes(votes_in, 12), calls=10)
+    row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
+    res["cls_b16_vote12"] = row
+    print("cls_b16_vote12", json.dumps(row), flush=True)
+
+    # whole-scene segmentation serving
+    from pointnet2_tpu.data.procedural_scannet import generate_scenes
+
+    seg = _fresh_predictor("pointnet2_sem_seg", 8192, buckets=(1, 4))
+    scene_pts, _ = generate_scenes(1, seed=0)[0]
+    scene_pts = scene_pts.astype(np.float32)
+    row = _timed_calls(lambda: seg.predict_scene(scene_pts)["labels"],
+                       calls=8, warmup=2)
+    row["scene_points"] = int(len(scene_pts))
+    row["points_per_sec"] = round(len(scene_pts) / (row["p50_ms"] / 1e3))
+    res["semseg_scene"] = row
+    print("semseg_scene", json.dumps(row), flush=True)
+
+    print(json.dumps(res, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
