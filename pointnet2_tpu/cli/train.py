@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sem_seg: train on 8-view virtual-scan samples "
                         "instead of random crops "
                         "(scannet_dataset.py:122-165)")
+    p.add_argument("--remat", default="none",
+                   choices=["none", "full", "dots", "dots_nobatch"],
+                   help="backward-pass rematerialization policy (slower on "
+                        "this chip — see docs/PERF.md; for memory-limited "
+                        "configs)")
     p.add_argument("--watchdog_secs", type=float, default=None,
                    help="exit 75 (retryable) if no dispatch completes for "
                         "this long — detects wedged remote-device sessions; "
@@ -235,7 +240,7 @@ def main(argv=None) -> None:
         decay_rate=args.decay_rate, augment=augment,
         num_devices=args.num_devices, log_dir=args.log_dir,
         eval_every=eval_every, compute_dtype=args.dtype,
-        watchdog_secs=args.watchdog_secs,
+        watchdog_secs=args.watchdog_secs, remat=args.remat,
         model_kwargs=model_kwargs)
     trainer = Trainer(config)
     trainer.log(f"config: {vars(args)}")

@@ -70,6 +70,11 @@ class TrainConfig:
     # completes for this many seconds (None = off). Must exceed worst-case
     # remote compile of the first dispatch.
     watchdog_secs: float | None = None
+    # backward-pass rematerialization policy (steps_body.REMAT_POLICIES):
+    # none | full | dots | dots_nobatch. Measured 30-58% SLOWER on this
+    # chip (docs/PERF.md negative results) — an option for memory-limited
+    # configs, not a speed knob here.
+    remat: str = "none"
 
 
 class Trainer:
@@ -99,12 +104,14 @@ class Trainer:
                                  config.momentum)
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.tx, self.bn_schedule,
-            task=self.task, mesh=self.mesh, augment=config.augment)
+            task=self.task, mesh=self.mesh, augment=config.augment,
+            remat=config.remat)
         self.train_multi_step = None
         if config.steps_per_call > 1:
             self.train_multi_step = make_train_multi_step(
                 self.model, self.loss_fn, self.tx, self.bn_schedule,
-                task=self.task, mesh=self.mesh, augment=config.augment)
+                task=self.task, mesh=self.mesh, augment=config.augment,
+                remat=config.remat)
         self.eval_step = make_eval_step(self.model, task=self.task,
                                         mesh=self.mesh)
         self.eval_count_step = make_eval_count_step(self.model, task=self.task,

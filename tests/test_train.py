@@ -218,3 +218,37 @@ def test_eval_count_step_per_class_counts(tmp_path):
     evals = [r for r in rec if r.get("split") == "eval"]
     assert "avg_class_accuracy" in evals[-1]
     assert 0.0 <= evals[-1]["avg_class_accuracy"] <= 1.0
+
+
+def test_trainer_remat_config_smoke():
+    """TrainConfig.remat plumbs through to the step factories: a remat
+    Trainer runs and the underlying step matches the default step to
+    float tolerance (bitwise parity is asserted at the steps level in
+    benchmarks/probe_remat.py's CPU check; through a full Adam epoch the
+    1/sqrt(v) normalization amplifies reassociation noise)."""
+    import numpy as np
+
+    from pointnet2_tpu.data import SyntheticClassification
+    from pointnet2_tpu.train import TrainConfig, Trainer
+
+    def run(remat, tmp):
+        ds = SyntheticClassification(num_classes=4, samples_per_class=4,
+                                     npoints=32, batch_size=8, seed=0)
+        t = Trainer(TrainConfig(model="pointnet_cls_basic", batch_size=8,
+                                max_epoch=1, num_point=32, augment="none",
+                                log_dir=tmp, remat=remat, eval_every=10))
+        state = t.fit(ds)
+        assert int(state.step) == 2
+        leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(state.params)]
+        assert all(np.isfinite(x).all() for x in leaves)
+        return np.concatenate([x.ravel() for x in leaves])
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        a = run("none", d1)
+        b = run("dots", d2)
+    # identical training up to Adam-amplified reassociation noise
+    np.testing.assert_allclose(a, b, atol=5e-3)
