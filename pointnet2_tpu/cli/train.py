@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sem_seg: train on 8-view virtual-scan samples "
                         "instead of random crops "
                         "(scannet_dataset.py:122-165)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="scan K prefetched batches per device dispatch "
+                        "(amortizes the host round trip; bench.py uses 25)")
     p.add_argument("--remat", default="none",
                    choices=["none", "full", "dots", "dots_nobatch"],
                    help="backward-pass rematerialization policy (slower on "
@@ -241,6 +244,7 @@ def main(argv=None) -> None:
         num_devices=args.num_devices, log_dir=args.log_dir,
         eval_every=eval_every, compute_dtype=args.dtype,
         watchdog_secs=args.watchdog_secs, remat=args.remat,
+        steps_per_call=args.steps_per_call,
         model_kwargs=model_kwargs)
     trainer = Trainer(config)
     trainer.log(f"config: {vars(args)}")
