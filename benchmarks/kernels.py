@@ -89,8 +89,10 @@ def bench_three_nn(B, N, M, results):
     rng = np.random.RandomState(0)
     dense = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
     sparse = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
-    t = time_op_loop(lambda d: three_nn(d, sparse), dense, iters=100)
-    results["three_nn"] = {"ms": t * 1e3}
+    for impl in ("xla", "pallas"):
+        t = time_op_loop(lambda d, impl=impl: three_nn(d, sparse, impl=impl),
+                         dense, iters=100)
+        results[f"three_nn_{impl}"] = {"ms": t * 1e3}
 
 
 def bench_knn(B, N, M, k, results):
