@@ -52,8 +52,11 @@ def plot_runs(run_dirs: list[str], out: str, title: str | None = None) -> str:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    runs = {os.path.basename(os.path.normpath(d)) or d: load_metrics(d)
-            for d in run_dirs}
+    names = [os.path.basename(os.path.normpath(d)) or d for d in run_dirs]
+    if len(set(names)) != len(names):
+        # same basename (e.g. runs/a/exp vs runs/b/exp): keep full paths
+        names = [os.path.normpath(d) for d in run_dirs]
+    runs = {name: load_metrics(d) for name, d in zip(names, run_dirs)}
     metrics = sorted({m for s in runs.values() for (_, m) in s})
     if not metrics:
         raise SystemExit("no plottable metrics found")

@@ -156,7 +156,6 @@ def make_scene(rng, min_points: int = 60_000, max_points: int = 180_000):
     pieces = _room_shell(rng, W, D, H, density)
 
     # furniture: 4-10 pieces placed on the floor, scaled to metric height
-    names = [f[0] for f in FURNITURE]
     weights = np.array([f[3] for f in FURNITURE])
     weights = weights / weights.sum()
     n_furn = int(rng.integers(4, 11))
@@ -165,7 +164,8 @@ def make_scene(rng, min_points: int = 60_000, max_points: int = 180_000):
         cloud = make_shape(_MN_INDEX[mn_name], rng,
                            npoints=max(400, int(target * 0.45 / n_furn)))
         # make_shape returns unit-sphere Y-UP clouds; back to z-up metric
-        pts = cloud[:, [0, 2, 1]] * np.array([1.0, 1.0, -1.0])
+        # (up (0,1,0) -> (0,0,1): new_y = -z, new_z = +y)
+        pts = cloud[:, [0, 2, 1]] * np.array([1.0, -1.0, 1.0])
         pts -= pts.min(axis=0, keepdims=True)
         ext = pts.max(axis=0)
         s = height_m / max(ext[2], 1e-6)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 import numpy as np
 
@@ -424,7 +425,9 @@ def generate(out_dir: str, train_per_class: int = 110,
         k = 0
         for split, count in plan:
             for _ in range(count):
-                sid = f"p{seed:x}{abs(hash((cat, k))) % (16 ** 6):06x}{k:05d}"
+                sid = (f"p{seed:x}"
+                       f"{zlib.crc32(f'{cat}/{k}'.encode()) % (16 ** 6):06x}"
+                       f"{k:05d}")
                 k += 1
                 pts, nrm, seg = make_part_shape(cat, rng, npoints)
                 arr = np.concatenate(

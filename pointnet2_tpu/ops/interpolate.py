@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 
 
+# Largest M routed to the Pallas kernel (see the dispatch comment below).
+_PALLAS_MAX_M = 1 << 16
+
+
 def three_nn(xyz1: jax.Array, xyz2: jax.Array, impl: str | None = None):
     """3 nearest neighbors of each unknown point among known points.
 
@@ -34,7 +38,12 @@ def three_nn(xyz1: jax.Array, xyz2: jax.Array, impl: str | None = None):
     """
     from pointnet2_tpu import config
 
-    if config.resolve_impl(impl) == "pallas":
+    # The Pallas kernel tiles only the N axis; its (TN, M) VMEM working
+    # tiles grow linearly in M, so very large known-point counts (whole
+    # scenes) would blow the ~16 MB VMEM budget. Past this bound the HBM
+    # distance matrix is unavoidable anyway — use the XLA formulation.
+    if (config.resolve_impl(impl) == "pallas"
+            and xyz2.shape[1] <= _PALLAS_MAX_M):
         from pointnet2_tpu.ops.pallas.three_nn import three_nn_pallas
 
         return three_nn_pallas(xyz1, xyz2)

@@ -154,3 +154,17 @@ def test_three_nn_pallas_fewer_than_three_known(rng):
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dp))
     assert np.all(np.isinf(np.asarray(dp)[..., 2]))
     assert np.all(np.asarray(ip)[..., 2] == 0)
+
+
+def test_three_nn_pallas_large_m_falls_back(rng):
+    """M beyond the kernel's VMEM tile budget routes to the XLA path
+    (the Pallas kernel tiles only N; its (TN, M) working tiles grow
+    linearly in M). Correctness must be impl-invariant either way."""
+    from pointnet2_tpu.ops.interpolate import _PALLAS_MAX_M
+
+    xyz1 = rng.rand(1, 5, 3).astype(np.float32)
+    xyz2 = rng.rand(1, _PALLAS_MAX_M + 1, 3).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(xyz1), jnp.asarray(xyz2), impl="pallas")
+    wdist, widx = golden.three_nn_np(xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+    np.testing.assert_allclose(np.asarray(dist), wdist, rtol=1e-5, atol=1e-6)
