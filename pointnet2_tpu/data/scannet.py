@@ -365,8 +365,11 @@ class ScannetDatasetWholeScene(_ScannetBase):
             return cached
         pts = self.scene_points_list[index]
         coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
-        nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5))
-        ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5))
+        # `or 1`: a zero-extent axis (degenerate planar scene) still owns
+        # one block — matches serving.predict_scene's tiling of the same
+        # geometry, instead of silently dropping the scene from eval
+        nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5)) or 1
+        ny = int(np.ceil((coordmax[1] - coordmin[1]) / 1.5)) or 1
         pairs = self.block_members(pts, coordmin, nx, ny)
         block_ids, starts = np.unique(pairs[:, 0], return_index=True)
         counts = np.append(starts[1:], len(pairs)) - starts

@@ -69,8 +69,6 @@ def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,
     # Host-sharded eval (cli.evaluate --multihost): each process saw only
     # its shard; sum the counter vectors so every host reports the global
     # protocol numbers (no-op single-process).
-    from pointnet2_tpu.parallel import multihost
-
     counters = multihost.allreduce_sum(np.array(
         [total_correct, total_seen], np.int64))
     total_correct, total_seen = int(counters[0]), int(counters[1])

@@ -148,15 +148,11 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
     Returns metrics incl. calibrated_accuracy_vox (the headline number)."""
     metrics = ScanNetMetrics()
     block_pts, block_seg, block_w = [], [], []
-    dispatches = [0]
+    dispatches = 0
     template = []
 
     def flush(force=False):
-        dispatches[0] += _flush(force)
-        return dispatches[0]
-
-    def _flush(force=False):
-        n = 0
+        nonlocal dispatches
         while len(block_pts) >= batch_size or (force and block_pts):
             take = min(batch_size, len(block_pts))
             pts = np.stack(block_pts[:take])
@@ -176,8 +172,7 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
             logits = np.asarray(eval_logits_fn(batch))
             pred = logits.argmax(-1)
             metrics.update(pts[:take], pred[:take], seg[:take], w[:take])
-            n += 1
-        return n
+            dispatches += 1
 
     for ps, seg, w in whole_scene_dataset.blocks():
         block_pts.append(ps)
@@ -191,10 +186,10 @@ def evaluate_scannet_whole_scene(eval_logits_fn, whole_scene_dataset,
     # nothing) before the final allreduce.
     from pointnet2_tpu.parallel import multihost
 
-    n_max = multihost.sync_num_batches(dispatches[0], reduce="max")
-    assert dispatches[0] == n_max or template, \
+    n_max = multihost.sync_num_batches(dispatches, reduce="max")
+    assert dispatches == n_max or template, \
         "host with zero whole-scene blocks cannot shape dummy dispatches"
-    for _ in range(n_max - dispatches[0]):
+    for _ in range(n_max - dispatches):
         eval_logits_fn(template[0])
     return metrics.allreduced().result(log_fn, prefix="eval whole scene")
 

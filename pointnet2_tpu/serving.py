@@ -188,6 +188,10 @@ class Predictor:
 
         pts = np.asarray(points, np.float32)
         n = len(pts)
+        if n == 0:
+            return {"labels": np.zeros(0, np.int32),
+                    "logits": np.zeros((0, 0), np.float32),
+                    "votes": np.zeros(0, np.int32)}
         rng = np.random.default_rng(seed)
         coordmin, coordmax = pts.min(axis=0), pts.max(axis=0)
         nx = int(np.ceil((coordmax[0] - coordmin[0]) / 1.5)) or 1
@@ -224,10 +228,6 @@ class Predictor:
             for (chunk, valid), lg in zip(group, logits):
                 np.add.at(logit_sum, chunk[:valid], lg[:valid])
                 np.add.at(votes, chunk[:valid], 1)
-        if logit_sum is None:  # empty scene
-            return {"labels": np.zeros(0, np.int32),
-                    "logits": np.zeros((0, 0), np.float32),
-                    "votes": votes}
         return {"labels": logit_sum.argmax(-1).astype(np.int32),
                 "logits": logit_sum, "votes": votes}
 

@@ -282,19 +282,12 @@ class Trainer:
         fewer eval batches feed zero-masked padding batches so every host
         dispatches the same lockstep step count.
         """
+        from pointnet2_tpu.evaluation.lockstep import lockstep_batches
+
         counts = []
-        num_steps = multihost.sync_num_batches(dataset.num_batches(), "max")
-        loader = Prefetcher(dataset.epoch(augment=False),
+        loader = Prefetcher(lockstep_batches(dataset, multihost),
                             depth=self.config.prefetch)
-        template = None
-        for _ in range(num_steps):
-            batch = next(loader, None)
-            if batch is None:  # this host exhausted; keep lockstep
-                assert template is not None, "empty eval shard on this host"
-                batch = {k: np.zeros_like(v) if isinstance(v, np.ndarray)
-                         else 0 for k, v in template.items()}
-            else:
-                template = batch
+        for batch in loader:
             nv = batch["nvalid"]
             device_batch = self._device_view(batch)
             bsz = device_batch["points"].shape[0]
@@ -342,18 +335,26 @@ class Trainer:
         if jax.process_count() == 1:
             def fn(batch: dict) -> np.ndarray:
                 db = {k: v for k, v in batch.items() if k in model_keys}
-                return np.asarray(
+                out = np.asarray(
                     self.eval_step(state, shard_batch(self.mesh, db)))
+                self._beat()  # protocol evals can outlast the watchdog
+                return out
             return fn
         if self._local_eval_step is None:
             self._local_eval_step = make_eval_step(self.model, task=self.task,
                                                    mesh=None)
-        host_state = jax.device_get(state)  # replicated -> local copy
+        # Replicated global -> one local device-resident copy, put ONCE:
+        # passing numpy trees to a jit re-uploads every leaf per dispatch
+        # (params + opt state, hundreds of dispatches per protocol eval).
+        host_state = jax.device_put(jax.device_get(state),
+                                    jax.local_devices()[0])
 
         def fn(batch: dict) -> np.ndarray:
             db = {k: np.asarray(v) for k, v in batch.items()
                   if k in model_keys}
-            return np.asarray(self._local_eval_step(host_state, db))
+            out = np.asarray(self._local_eval_step(host_state, db))
+            self._beat()  # protocol evals can outlast the watchdog
+            return out
         return fn
 
     # ------------------------------------------------------------------
@@ -372,6 +373,18 @@ class Trainer:
 
             self._watchdog = Watchdog(self.config.watchdog_secs,
                                       log_fn=self.log)
+        try:
+            return self._fit(train_dataset, eval_dataset, max_epoch,
+                             eval_protocol)
+        finally:
+            # an exception must not leave an armed watchdog behind to
+            # os._exit a caller that caught the error and moved on
+            if self._watchdog is not None:
+                self._watchdog.close()
+                self._watchdog = None
+
+    def _fit(self, train_dataset, eval_dataset, max_epoch,
+             eval_protocol) -> TrainState:
         example = next(iter(train_dataset.epoch()))
         state = self.init_state(self._device_view(example))
         state, meta = self.maybe_restore(state)
@@ -415,7 +428,4 @@ class Trainer:
             path = ckpt.save_checkpoint(self.config.log_dir, state,
                                         epoch=max_epoch)
             self.log(f"saved final checkpoint to {path}")
-        if self._watchdog is not None:
-            self._watchdog.close()
-            self._watchdog = None
         return state

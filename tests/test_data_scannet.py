@@ -243,3 +243,20 @@ def test_crop_sampler_faster_than_naive():
         _naive_candidate_scores(pts, seg, centers)
     naive = (time.perf_counter() - t0) / 5
     assert fast < naive, (fast, naive)
+
+
+def test_whole_scene_degenerate_planar_scene_not_dropped():
+    """A zero-extent axis (all points share one x) must still own one
+    block column (`or 1` in _scene_tiling) — matching
+    serving.predict_scene's tiling — instead of silently contributing
+    nothing to whole-scene eval."""
+    gen = np.random.default_rng(3)
+    pts = np.zeros((2000, 3), np.float32)
+    pts[:, 1] = gen.uniform(0, 2.0, 2000)
+    pts[:, 2] = gen.uniform(0, 2.0, 2000)
+    labels = gen.integers(1, 21, 2000).astype(np.int32)
+    ds = ScannetDatasetWholeScene(scenes=[(pts, labels)], npoints=128,
+                                  split="test")
+    bp, seg, smpw = ds.get_item(0)
+    assert bp.shape[0] >= 1 and bp.shape[1:] == (128, 3)
+    assert (smpw > 0).any()

@@ -149,3 +149,14 @@ def test_predict_scene_full_coverage(rng):
                          buckets=(2,))
     with pytest.raises(ValueError, match="sem_seg"):
         cls_pred.predict_scene(pts)
+
+
+def test_predict_scene_empty_scene():
+    """An empty scene returns empty results instead of crashing on
+    pts.min() of a zero-size array."""
+    variables = _init_variables("pointnet2_sem_seg", num_point=128)
+    pred = Predictor("pointnet2_sem_seg", variables, dtype=None,
+                     buckets=(2,))
+    out = pred.predict_scene(np.zeros((0, 3), np.float32), npoints=128)
+    assert out["labels"].shape == (0,)
+    assert out["votes"].shape == (0,)

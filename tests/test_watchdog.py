@@ -8,6 +8,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 from pointnet2_tpu.train.watchdog import EXIT_STALLED, Watchdog
 
 
@@ -111,3 +113,24 @@ def test_supervise_gives_up_after_max_restarts():
                    max_restarts=2, backoff_secs=0.0,
                    log_fn=lambda m: None, _sleep=lambda s: None)
     assert rc == EXIT_STALLED
+
+
+def test_trainer_closes_watchdog_on_exception(tmp_path):
+    """fit() must not leave an armed watchdog behind when it raises —
+    a caller that catches the error would be os._exit'd later."""
+    from pointnet2_tpu.data import SyntheticClassification
+    from pointnet2_tpu.train import TrainConfig, Trainer
+
+    ds = SyntheticClassification(num_classes=2, samples_per_class=4,
+                                 npoints=32, batch_size=8)
+    cfg = TrainConfig(model="pointnet_cls_basic", batch_size=8,
+                      max_epoch=1, log_dir=str(tmp_path), augment="none",
+                      watchdog_secs=120.0)
+    tr = Trainer(cfg)
+
+    def boom(trainer, state, epoch):
+        raise RuntimeError("protocol eval failed")
+
+    with pytest.raises(RuntimeError):
+        tr.fit(ds, eval_dataset=ds, eval_protocol=boom)
+    assert tr._watchdog is None
