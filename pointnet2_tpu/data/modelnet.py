@@ -29,11 +29,17 @@ def _host_slice(n: int, shard: tuple[int, int] | None) -> slice:
     """Contiguous per-host slice of n items for shard=(rank, count)."""
     if shard is None:
         return slice(None)
-    rank, count = shard
-    per = n // count
-    start = rank * per
-    stop = start + per if rank < count - 1 else n
-    return slice(start, stop)
+    from pointnet2_tpu.parallel.multihost import shard_bounds
+
+    return slice(*shard_bounds(n, *shard))
+
+
+def pc_normalize(pc: np.ndarray) -> np.ndarray:
+    """Centroid-center + unit-sphere scale (the reference's normalization
+    in both modelnet_dataset.py and part_dataset_all_normal.py)."""
+    centroid = pc.mean(axis=0)
+    pc = pc - centroid
+    return pc / np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
 
 
 def _pad_batch(arrs: list[np.ndarray], batch_size: int):
@@ -59,15 +65,15 @@ class ModelNetH5Dataset:
         base = os.path.dirname(list_filename)
         with open(list_filename) as f:
             files = [line.strip() for line in f if line.strip()]
-        self._data = []
-        self._label = []
+        data = []
+        label = []
         for fn in files:
             path = fn if os.path.isabs(fn) else os.path.join(base, os.path.basename(fn))
             with h5py.File(path, "r") as h5:
-                self._data.append(np.asarray(h5["data"][:], np.float32))
-                self._label.append(np.asarray(h5["label"][:], np.int32).reshape(-1))
-        self.data = np.concatenate(self._data, 0)
-        self.label = np.concatenate(self._label, 0)
+                data.append(np.asarray(h5["data"][:], np.float32))
+                label.append(np.asarray(h5["label"][:], np.int32).reshape(-1))
+        self.data = np.concatenate(data, 0)
+        self.label = np.concatenate(label, 0)
         sl = _host_slice(len(self.label), process_shard)
         self.data, self.label = self.data[sl], self.label[sl]
 
@@ -139,12 +145,7 @@ class ModelNetDataset:
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
 
-    @staticmethod
-    def _pc_normalize(pc: np.ndarray) -> np.ndarray:
-        centroid = pc.mean(axis=0)
-        pc = pc - centroid
-        scale = np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
-        return pc / scale
+    _pc_normalize = staticmethod(pc_normalize)
 
     def _get(self, index: int):
         if index in self._cache:
@@ -165,8 +166,9 @@ class ModelNetDataset:
                  else np.arange(len(self)))
         for start in range(0, len(self), self.batch_size):
             sel = order[start:start + self.batch_size]
-            pts = np.stack([self._get(i)[0] for i in sel])
-            lbl = np.asarray([self._get(i)[1] for i in sel], np.int32)
+            items = [self._get(i) for i in sel]  # one cache/parse per item
+            pts = np.stack([p for p, _ in items])
+            lbl = np.asarray([l for _, l in items], np.int32)
             if augment:
                 pts = A.augment_cls_batch_with_normals(pts, self._rng)
             (pts, lbl), nvalid = _pad_batch([pts, lbl], self.batch_size)

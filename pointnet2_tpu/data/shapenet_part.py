@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from pointnet2_tpu.data.modelnet import _pad_batch
+from pointnet2_tpu.data.modelnet import _pad_batch, pc_normalize
 
 SEG_CLASSES = {
     "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35],
@@ -33,14 +33,15 @@ SEG_CLASSES = {
 SEG_LABEL_TO_CAT = {label: cat for cat, labels in SEG_CLASSES.items()
                     for label in labels}
 
+# Category -> one-hot id in the REAL dataset: PartNormalDataset derives ids
+# from synsetoffset2category.txt line order, which is alphabetical (as is
+# the procedural generator's CATEGORY_SYNSETS). Every synthetic/auxiliary
+# id assignment must use this order or checkpoints trained on one source
+# feed permuted one-hots when evaluated on another.
+CATEGORY_ORDER = sorted(SEG_CLASSES)
+
 NUM_PARTS = 50
 NUM_CATEGORIES = 16
-
-
-def pc_normalize(pc: np.ndarray) -> np.ndarray:
-    centroid = pc.mean(axis=0)
-    pc = pc - centroid
-    return pc / np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
 
 
 class PartNormalDataset:
@@ -139,7 +140,7 @@ class SyntheticShapeNetPart:
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
         gen = np.random.default_rng(seed + 3)
-        cats = list(categories) if categories else list(SEG_CLASSES)
+        cats = list(categories) if categories else CATEGORY_ORDER
         self.data, self.seg, self.cls = [], [], []
         for i in range(num_samples):
             cat = cats[i % len(cats)]
@@ -154,7 +155,7 @@ class SyntheticShapeNetPart:
             normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
             self.data.append(np.concatenate([pts, normals], -1))
             self.seg.append(seg)
-            self.cls.append(np.int32(list(SEG_CLASSES).index(cat)))
+            self.cls.append(np.int32(CATEGORY_ORDER.index(cat)))
         self.data = np.stack(self.data)
         self.seg = np.stack(self.seg)
         self.cls = np.asarray(self.cls, np.int32)

@@ -14,21 +14,42 @@ import jax.numpy as jnp
 import optax
 
 
-def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """logits (B, C), labels (B,) int -> scalar mean CE."""
-    return optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), labels).mean()
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                        sample_weight: jnp.ndarray | None = None
+                        ) -> jnp.ndarray:
+    """logits (B, C), labels (B,) int -> scalar mean CE.
+
+    `sample_weight` (B,) masks padded rows out of the reduction (the
+    reference instead trains on the stale tail rows of its reused feed
+    buffer, train.py:203-210 — a documented improvement here)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    if sample_weight is None:
+        return ce.mean()
+    return jnp.sum(ce * sample_weight) / jnp.maximum(sample_weight.sum(), 1.0)
 
 
-def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """logits (B, N, C), labels (B, N) int -> scalar mean per-point CE."""
-    return optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), labels).mean()
+def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                      sample_weight: jnp.ndarray | None = None
+                      ) -> jnp.ndarray:
+    """logits (B, N, C), labels (B, N) int -> scalar mean per-point CE.
+    `sample_weight` (B,) masks padded examples (see classification_loss)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    if sample_weight is None:
+        return ce.mean()
+    n = ce.shape[1]
+    return (jnp.sum(ce * sample_weight[:, None])
+            / jnp.maximum(sample_weight.sum() * n, 1.0))
 
 
 def weighted_segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                               smpw: jnp.ndarray) -> jnp.ndarray:
+                               smpw: jnp.ndarray,
+                               sample_weight: jnp.ndarray | None = None
+                               ) -> jnp.ndarray:
     """Per-point weighted CE, normalized by the number of nonzero weights."""
+    if sample_weight is not None:
+        smpw = smpw * sample_weight[:, None]
     ce = optax.softmax_cross_entropy_with_integer_labels(
         logits.astype(jnp.float32), labels)
     num = jnp.sum(ce * smpw)

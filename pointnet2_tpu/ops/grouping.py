@@ -99,7 +99,9 @@ def query_ball_and_group_xyz(radius: float, nsample: int, xyz1: jax.Array,
     if config.resolve_impl(impl) == "pallas":
         return _bq_group_pallas(radius, nsample, xyz1, xyz2)
     idx, cnt = _ball_query_xla(radius, nsample, xyz1, xyz2)
-    return idx, cnt, _group_point_xla(xyz1, idx)
+    # route the gather through the impl dispatch (mxu one-hot by default —
+    # its scatter-grad is the measured-fast path), not _group_point_xla
+    return idx, cnt, group_point(xyz1, idx)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -117,12 +119,13 @@ def _bqg_fwd(radius, nsample, xyz1, xyz2):
 
 
 def _bqg_bwd(radius, nsample, res, g):
-    from pointnet2_tpu.ops.pallas.group import _scatter_rows
-
     idx, n, q_shape = res
     dg = g[2]  # cotangent of grouped_xyz; idx/cnt are int outputs
     B, m, s, C = dg.shape
-    grad = _scatter_rows(dg.reshape(B, m * s, C), idx.reshape(B, m * s), n)
+    # the MXU one-hot scatter, not the Pallas one: measured ~16x faster
+    # for the gather gradient at these shapes (docs/PERF.md)
+    grad = onehot_scatter_rows(dg.reshape(B, m * s, C),
+                               idx.reshape(B, m * s), n)
     return grad, jnp.zeros(q_shape, grad.dtype)
 
 

@@ -80,7 +80,8 @@ def _three_nn_xla(xyz1: jax.Array, xyz2: jax.Array):
         d = jnp.where(lane[None, None, :] == i[..., None], jnp.inf, d)
     dist = jnp.stack(dists, axis=-1)
     idx = jnp.stack(idxs, axis=-1)
-    idx = jnp.where(idx >= M, 0, idx)
+    # padded lanes (M < 3) can never be selected: they hold +inf, and
+    # argmin over an all-inf row returns lane 0 — already a valid index
     return dist, idx.astype(jnp.int32)
 
 

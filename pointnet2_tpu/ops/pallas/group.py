@@ -178,9 +178,12 @@ def _scatter_rows_t(g_flat: jax.Array, idx_flat: jax.Array, n: int) -> jax.Array
         ],
         out_specs=pl.BlockSpec((1, C, TN), lambda b, nt, kc: (b, 0, nt),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, Np), g_flat.dtype),
+        # accumulate cross-chunk partial sums in f32: a bf16 running sum
+        # swamps small contributions to hot rows once it is ~256x larger
+        out_shape=jax.ShapeDtypeStruct((B, C, Np), jnp.float32),
         interpret=config.interpret_mode(),
     )(idx3, g_t)
+    out = out.astype(g_flat.dtype)
     return jnp.moveaxis(out[:, :, :n], 1, -1)  # (B, n, C)
 
 
@@ -249,10 +252,11 @@ def _scatter_rows(g_flat: jax.Array, idx_flat: jax.Array, n: int) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((1, TN, C), lambda b, nt, kc: (b, nt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), g_flat.dtype),
+        # f32 accumulator across key chunks (see _scatter_rows_t)
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
         interpret=config.interpret_mode(),
     )(idx3, g_flat)
-    return out[:, :n]
+    return out[:, :n].astype(g_flat.dtype)
 
 
 @jax.custom_vjp

@@ -105,13 +105,20 @@ def barrier(name: str) -> None:
         multihost_utils.sync_global_devices(name)
 
 
-def process_shard(num_items: int) -> tuple[int, int]:
-    """(start, stop) of this host's contiguous shard of a dataset."""
-    rank, count = jax.process_index(), jax.process_count()
+def shard_bounds(num_items: int, rank: int, count: int) -> tuple[int, int]:
+    """(start, stop) of `rank`'s contiguous shard; the remainder goes to
+    the last rank. The single source of the sharding policy — dataset
+    loaders slice with this so every host agrees on shard sizes (lockstep
+    dispatch counts depend on it)."""
     per = num_items // count
     start = rank * per
     stop = start + per if rank < count - 1 else num_items
     return start, stop
+
+
+def process_shard(num_items: int) -> tuple[int, int]:
+    """(start, stop) of this host's contiguous shard of a dataset."""
+    return shard_bounds(num_items, jax.process_index(), jax.process_count())
 
 
 def local_batch_size(global_batch: int) -> int:

@@ -34,9 +34,15 @@ def _loss_args(batch: dict, task: str):
 
 
 def _accuracy(logits, batch, task):
-    if task == "cls":
-        return jnp.mean(jnp.argmax(logits, -1) == batch["label"])
-    return jnp.mean(jnp.argmax(logits, -1) == batch["seg"])
+    target = batch["label"] if task == "cls" else batch["seg"]
+    hit = (jnp.argmax(logits, -1) == target).astype(jnp.float32)
+    mask = batch.get("mask")
+    if mask is None:
+        return jnp.mean(hit)
+    while mask.ndim < hit.ndim:
+        mask = mask[..., None]
+    return jnp.sum(hit * mask) / jnp.maximum(
+        jnp.sum(jnp.broadcast_to(mask, hit.shape)), 1.0)
 
 
 # Rematerialization policies for the backward pass. The train step is
@@ -77,7 +83,16 @@ def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
                 *_model_inputs(batch, task), train=True,
                 bn_momentum=bn_momentum,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
-        loss = loss_fn(logits, *_loss_args(batch, task))
+        # `mask` (from nvalid) zeroes the duplicated rows of a padded
+        # final batch out of the loss/grads; the reference instead trains
+        # on its feed buffer's stale tail rows (train.py:203-210). BN
+        # batch statistics still see the padded rows (as they do there).
+        mask = batch.get("mask")
+        if mask is None:
+            loss = loss_fn(logits, *_loss_args(batch, task))
+        else:
+            loss = loss_fn(logits, *_loss_args(batch, task),
+                           sample_weight=mask)
         return loss, (logits, mutated["batch_stats"])
 
     policy = REMAT_POLICIES[remat]

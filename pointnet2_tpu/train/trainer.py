@@ -219,7 +219,7 @@ class Trainer:
                 # epoch remainder: single steps, avoids a second compile
                 for b in buf:
                     device_batch = shard_batch(self.mesh,
-                                               self._device_view(b))
+                                               self._train_view(b))
                     state, metrics = self.train_step(state, device_batch,
                                                      step_rng)
                     losses.append(metrics["loss"])
@@ -227,8 +227,8 @@ class Trainer:
                     self._rng, step_rng = jax.random.split(self._rng)
             else:
                 stacked = {
-                    k: np.stack([self._device_view(b)[k] for b in buf])
-                    for k in self._device_view(buf[0])
+                    k: np.stack([self._train_view(b)[k] for b in buf])
+                    for k in self._train_view(buf[0])
                 }
                 device_batches = shard_batch(self.mesh, stacked, stacked=True)
                 state, metrics = self.train_multi_step(state, device_batches,
@@ -271,6 +271,16 @@ class Trainer:
     def _device_view(self, batch: dict) -> dict:
         """Strip host-only fields; everything else goes to the device."""
         return {k: v for k, v in batch.items() if k != "nvalid"}
+
+    def _train_view(self, batch: dict) -> dict:
+        """Device view + a validity mask so a padded final batch's
+        duplicated rows drop out of the loss/grads (steps_body)."""
+        db = self._device_view(batch)
+        nv = batch.get("nvalid")
+        if nv is not None:
+            bsz = db["points"].shape[0]
+            db["mask"] = (np.arange(bsz) < nv).astype(np.float32)
+        return db
 
     def eval_epoch(self, state: TrainState, dataset, epoch: int) -> float:
         """Padded-batch-aware accuracy (the reference re-feeds stale rows in

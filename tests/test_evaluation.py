@@ -10,7 +10,8 @@ from pointnet2_tpu.data import (
     SyntheticShapeNetPart,
     make_synthetic_scenes,
 )
-from pointnet2_tpu.data.shapenet_part import NUM_PARTS, SEG_CLASSES
+from pointnet2_tpu.data.shapenet_part import (CATEGORY_ORDER, NUM_PARTS,
+                                               SEG_CLASSES)
 from pointnet2_tpu.evaluation import (
     PartSegMetrics,
     evaluate_cls_voting,
@@ -119,7 +120,7 @@ def test_part_iou_half_wrong():
 
 def test_part_seg_voting_perfect_oracle():
     ds = SyntheticShapeNetPart(num_samples=8, npoints=64, batch_size=4)
-    cats = list(SEG_CLASSES)
+    cats = CATEGORY_ORDER
 
     def eval_fn(batch):
         # a true model's logits follow the (permuted) input geometry, so

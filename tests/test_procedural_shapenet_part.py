@@ -78,3 +78,19 @@ def test_determinism():
     b = make_part_shape("Chair", np.random.default_rng(7), 128)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_synthetic_category_ids_match_real_loader_order():
+    """SyntheticShapeNetPart's one-hot ids must equal the ids
+    PartNormalDataset derives from synsetoffset2category.txt order
+    (alphabetical — CATEGORY_ORDER); a permuted assignment silently
+    breaks checkpoints moved between synthetic and real data."""
+    from pointnet2_tpu.data.shapenet_part import (CATEGORY_ORDER,
+                                                  SyntheticShapeNetPart)
+
+    ds = SyntheticShapeNetPart(num_samples=16, npoints=32, batch_size=4)
+    assert CATEGORY_ORDER == sorted(CATEGORY_ORDER)
+    assert CATEGORY_ORDER[int(ds.cls[0])] == CATEGORY_ORDER[0]
+    # sample i takes category i % 16 in CATEGORY_ORDER order
+    for i in range(16):
+        assert int(ds.cls[i]) == i

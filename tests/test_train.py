@@ -252,3 +252,50 @@ def test_trainer_remat_config_smoke():
         b = run("dots", d2)
     # identical training up to Adam-amplified reassociation noise
     np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_train_step_masks_padded_rows(tmp_path):
+    """With a `mask` in the batch (built by Trainer._train_view from
+    nvalid), the padded tail rows must not influence loss or gradients:
+    two batches that differ only in masked-row LABELS produce identical
+    new params. (The reference instead trains on its feed buffer's stale
+    tail rows, train.py:203-210 — a documented improvement. Tail point
+    VALUES still reach BN batch statistics, as they do in the reference,
+    so the test varies labels, which only the loss sees.)"""
+    import numpy as _np
+
+    from pointnet2_tpu.parallel.mesh import shard_batch
+
+    ds = SyntheticClassification(num_classes=4, samples_per_class=8,
+                                 npoints=64, batch_size=8)
+    from pointnet2_tpu.parallel.mesh import replicated_sharding
+
+    tr = _make_trainer(tmp_path)
+    example = next(iter(ds.epoch()))
+    host_state = jax.device_get(tr.init_state(tr._device_view(example)))
+
+    batch = dict(example)
+    batch["nvalid"] = 5
+    rng = jax.random.PRNGKey(7)
+
+    def step_with_tail(tail_label):
+        b = {k: (v.copy() if isinstance(v, _np.ndarray) else v)
+             for k, v in batch.items()}
+        b["points"][5:] = 0.25
+        b["label"][5:] = tail_label
+        db = shard_batch(tr.mesh, tr._train_view(b))
+        assert "mask" in db and db["mask"].sum() == 5
+        # fresh device copy per call: train_step donates its state arg
+        state = jax.device_put(host_state, replicated_sharding(tr.mesh))
+        new_state, metrics = tr.train_step(state, db, rng)
+        return new_state, metrics
+
+    s_a, m_a = step_with_tail(3)
+    s_b, m_b = step_with_tail(0)
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]))
+    assert float(m_a["accuracy"]) == pytest.approx(float(m_b["accuracy"]))
+    pa = jax.tree_util.tree_leaves(s_a.params)
+    pb = jax.tree_util.tree_leaves(s_b.params)
+    for a, b in zip(pa, pb):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    rtol=0, atol=0)
