@@ -68,17 +68,10 @@ def main(argv=None) -> None:
 
         multihost.initialize()
     task = MODEL_REGISTRY[args.model].task
-    _, test_ds, _ = make_datasets(args)
-    model_kwargs = {}
-    if getattr(args, "model_kwargs", None):
-        import json
+    _, test_ds, _ = make_datasets(args, test_only=True)
+    from pointnet2_tpu.cli.train import parse_model_kwargs
 
-        model_kwargs.update({
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in json.loads(args.model_kwargs).items()})
-    if args.num_classes is not None:
-        key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
-        model_kwargs[key] = args.num_classes
+    model_kwargs = parse_model_kwargs(args, task)
     config = TrainConfig(model=args.model, num_point=args.num_point,
                          batch_size=args.batch_size,
                          num_devices=args.num_devices, log_dir=args.log_dir,

@@ -84,11 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_datasets(args):
+def make_datasets(args, test_only: bool = False):
     """Build (train, eval, on-device-augment-name) for the model's task.
 
     With --multihost, each process loads only its shard and its loaders
-    yield local batches (global batch / process count)."""
+    yield local batches (global batch / process count). `test_only` skips
+    loading the train split entirely (cli.evaluate / cli.visualize pay
+    neither the h5/pickle read nor its host memory) and returns None for
+    it."""
     import jax
 
     shard = None
@@ -100,10 +103,10 @@ def make_datasets(args):
         shard = (jax.process_index(), jax.process_count())
         args = copy.copy(args)
         args.batch_size = multihost.local_batch_size(args.batch_size)
-    return _make_datasets_sharded(args, shard)
+    return _make_datasets_sharded(args, shard, test_only)
 
 
-def _make_datasets_sharded(args, shard):
+def _make_datasets_sharded(args, shard, test_only=False):
     task = MODEL_REGISTRY[args.model].task
     if task == "cls":
         if args.synthetic or args.data is None:
@@ -117,9 +120,9 @@ def _make_datasets_sharded(args, shard):
         if args.normal:
             from pointnet2_tpu.data import ModelNetDataset
 
-            train = ModelNetDataset(args.data, batch_size=args.batch_size,
-                                    npoints=args.num_point, split="train",
-                                    process_shard=shard)
+            train = None if test_only else ModelNetDataset(
+                args.data, batch_size=args.batch_size,
+                npoints=args.num_point, split="train", process_shard=shard)
             test = ModelNetDataset(args.data, batch_size=args.batch_size,
                                    npoints=args.num_point, split="test",
                                    process_shard=shard)
@@ -127,10 +130,10 @@ def _make_datasets_sharded(args, shard):
         from pointnet2_tpu.data import ModelNetH5Dataset
         import os
 
-        train = ModelNetH5Dataset(os.path.join(args.data, "train_files.txt"),
-                                  batch_size=args.batch_size,
-                                  npoints=args.num_point,
-                                  process_shard=shard)
+        train = None if test_only else ModelNetH5Dataset(
+            os.path.join(args.data, "train_files.txt"),
+            batch_size=args.batch_size, npoints=args.num_point,
+            process_shard=shard)
         test = ModelNetH5Dataset(os.path.join(args.data, "test_files.txt"),
                                  batch_size=args.batch_size,
                                  npoints=args.num_point, shuffle=False,
@@ -146,10 +149,9 @@ def _make_datasets_sharded(args, shard):
             return mk(0), mk(1), "none"
         from pointnet2_tpu.data import PartNormalDataset
 
-        train = PartNormalDataset(args.data, npoints=args.num_point,
-                                  split="trainval",
-                                  batch_size=args.batch_size,
-                                  process_shard=shard)
+        train = None if test_only else PartNormalDataset(
+            args.data, npoints=args.num_point, split="trainval",
+            batch_size=args.batch_size, process_shard=shard)
         test = PartNormalDataset(args.data, npoints=args.num_point,
                                  split="test", batch_size=args.batch_size,
                                  process_shard=shard)
@@ -171,14 +173,38 @@ def _make_datasets_sharded(args, shard):
                               npoints=args.num_point, split="test",
                               batch_size=args.batch_size)
         return train, test, "scannet"
-    train = train_cls(root=args.data, npoints=args.num_point,
-                      split="train", batch_size=args.batch_size,
-                      process_shard=shard,
-                      num_workers=getattr(args, "loader_workers", 2))
+    train = None if test_only else train_cls(
+        root=args.data, npoints=args.num_point, split="train",
+        batch_size=args.batch_size, process_shard=shard,
+        num_workers=getattr(args, "loader_workers", 2))
     test = ScannetDataset(root=args.data, npoints=args.num_point,
                           split="test", batch_size=args.batch_size,
                           process_shard=shard)
     return train, test, "scannet"
+
+
+def parse_model_kwargs(args, task) -> dict:
+    """--model_kwargs JSON (+ --num_classes) -> model constructor kwargs.
+
+    JSON lists become tuples RECURSIVELY: flax dataclass fields expect
+    hashables, and nested widths like [[64,64],[128,128]] must become
+    tuples of tuples, not a tuple of lists. Shared by train, evaluate,
+    and visualize so an override-trained checkpoint restores everywhere.
+    """
+    model_kwargs = {}
+    if getattr(args, "model_kwargs", None):
+        import json
+
+        def _tuplify(v):
+            return tuple(_tuplify(x) for x in v) if isinstance(v, list) else v
+
+        model_kwargs.update({
+            k: _tuplify(v)
+            for k, v in json.loads(args.model_kwargs).items()})
+    if getattr(args, "num_classes", None) is not None:
+        key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
+        model_kwargs[key] = args.num_classes
+    return model_kwargs
 
 
 def make_sem_seg_eval_protocol(args, test_ds, shard):
@@ -216,22 +242,7 @@ def main(argv=None) -> None:
         multihost.initialize()
     train_ds, test_ds, augment = make_datasets(args)
     task = MODEL_REGISTRY[args.model].task
-    model_kwargs = {}
-    if getattr(args, "model_kwargs", None):
-        import json
-
-        # JSON lists -> tuples, recursively: flax dataclass fields expect
-        # hashables, and nested widths like [[64,64],[128,128]] must become
-        # tuples of tuples, not a tuple of lists.
-        def _tuplify(v):
-            return tuple(_tuplify(x) for x in v) if isinstance(v, list) else v
-
-        model_kwargs.update({
-            k: _tuplify(v)
-            for k, v in json.loads(args.model_kwargs).items()})
-    if args.num_classes is not None:
-        key = "num_classes" if task in ("cls", "sem_seg") else "num_parts"
-        model_kwargs[key] = args.num_classes
+    model_kwargs = parse_model_kwargs(args, task)
     eval_every = args.eval_every
     if eval_every is None:
         eval_every = 5 if task == "sem_seg" else 1

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="viz_out")
     p.add_argument("--canvas", type=int, default=800)
     p.add_argument("--ballradius", type=int, default=6)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--model_kwargs", type=str, default=None,
+                   help="JSON dict of model overrides; must match the "
+                        "trained config for checkpoint restore")
     return p
 
 
@@ -72,7 +76,10 @@ def main(argv=None) -> None:
         if args.cloud.endswith(".ply"):
             pts = pc_util.read_ply(args.cloud)
         else:
-            pts = np.loadtxt(args.cloud, delimiter=",")[:, :3]
+            try:  # comma-separated (modelnet40_normal_resampled layout)...
+                pts = np.loadtxt(args.cloud, delimiter=",")[:, :3]
+            except ValueError:  # ...or whitespace (ShapeNet-part txt)
+                pts = np.loadtxt(args.cloud)[:, :3]
         _save_png(render(pts, canvas=args.canvas,
                          ballradius=args.ballradius),
                   os.path.join(args.out, "cloud.png"))
@@ -84,16 +91,18 @@ def main(argv=None) -> None:
     if args.model is None:
         raise SystemExit("need --model (with optional checkpoint) or --cloud")
 
-    from pointnet2_tpu.cli.train import make_datasets
+    from pointnet2_tpu.cli.train import make_datasets, parse_model_kwargs
     from pointnet2_tpu.parallel.mesh import shard_batch
     from pointnet2_tpu.train import TrainConfig, Trainer
     from pointnet2_tpu.train import checkpoint as ckpt
 
     task = MODEL_REGISTRY[args.model].task
-    _, test_ds, _ = make_datasets(args)
+    _, test_ds, _ = make_datasets(args, test_only=True)
     trainer = Trainer(TrainConfig(model=args.model,
                                   batch_size=args.batch_size,
-                                  log_dir=args.log_dir))
+                                  log_dir=args.log_dir,
+                                  model_kwargs=parse_model_kwargs(args,
+                                                                  task)))
     example = next(iter(test_ds.epoch()))
     state = trainer.init_state(trainer._device_view(example))
     have_ckpt = ckpt.latest_step(args.log_dir, args.ckpt) is not None

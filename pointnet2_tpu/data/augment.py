@@ -199,12 +199,17 @@ def augment_cls_batch(batch: np.ndarray, rng) -> np.ndarray:
 
 
 def augment_cls_batch_with_normals(batch: np.ndarray, rng) -> np.ndarray:
-    """Normal-aware pipeline: rotate(+normals) -> perturb(+normals) ->
-    dropout -> scale -> shift -> shuffle (modelnet_dataset.py:60-72)."""
+    """Normal-aware paper recipe: rotate(+normals) -> perturb(+normals) ->
+    scale -> shift -> jitter -> shuffle -> dropout — the full
+    _augment_batch_data chain (modelnet_dataset.py:60-72; jitter xyz-only)
+    plus random input dropout applied last, where the reference's
+    commented provider.random_point_dropout sits (train.py:201-202,
+    README.md:59 side note (2))."""
     rng = _as_rng(rng)
     out = rotate_point_cloud(batch, rng)  # rotates normals too (6ch aware)
     out = rotate_perturbation_point_cloud(out, rng)
-    out = random_point_dropout(out, rng)
     out = random_scale_point_cloud(out, rng)
     out = shift_point_cloud(out, rng)
-    return shuffle_points(out, rng)
+    out = jitter_point_cloud(out, rng)
+    out = shuffle_points(out, rng)
+    return random_point_dropout(out, rng)

@@ -135,15 +135,20 @@ def augment_cls(key, batch):
 
 
 def augment_cls_normals(key, batch):
-    """rotate(+normals) -> perturb -> dropout -> scale -> shift -> shuffle
-    (the 5000-pt XYZ+normal recipe, modelnet_dataset.py:60-72)."""
-    ks = jax.random.split(key, 6)
+    """rotate(+normals) -> perturb -> scale -> shift -> jitter -> shuffle
+    -> dropout: the 5000-pt XYZ+normal paper recipe — the full
+    _augment_batch_data chain (modelnet_dataset.py:60-72, jitter on xyz
+    only) plus random input dropout applied LAST, where the reference's
+    commented line sits after next_batch (train.py:201-202,
+    README.md:59 side note (2))."""
+    ks = jax.random.split(key, 7)
     batch = rotate_y(ks[0], batch)
     batch = rotate_perturbation(ks[1], batch)
-    batch = random_point_dropout(ks[2], batch)
-    batch = random_scale(ks[3], batch)
-    batch = shift(ks[4], batch)
-    return shuffle_points(ks[5], batch)
+    batch = random_scale(ks[2], batch)
+    batch = shift(ks[3], batch)
+    batch = jitter(ks[4], batch)
+    batch = shuffle_points(ks[5], batch)
+    return random_point_dropout(ks[6], batch)
 
 
 def augment_scannet(key, batch):

@@ -679,9 +679,10 @@ def _stool(rng):
     r = _u(rng, 0.18, 0.26)
     h = _u(rng, 0.55, 0.8)
     parts = tube(r, 0.05, (0, 0, h - 0.025))
-    # splayed round legs
-    for k in range(rng.integers(3, 5)):
-        ang = 2 * np.pi * k / 4 + 0.4
+    # splayed round legs, evenly spaced around the seat
+    n_legs = int(rng.integers(3, 5))
+    for k in range(n_legs):
+        ang = 2 * np.pi * k / n_legs + 0.4
         top = np.array([0.6 * r * np.cos(ang), 0.6 * r * np.sin(ang), h])
         bot = np.array([1.4 * r * np.cos(ang), 1.4 * r * np.sin(ang), 0])
         parts += tube(0.025, h, tuple((top + bot) / 2), caps="none")
@@ -700,7 +701,7 @@ def _tent(rng):
     h = _u(rng, 0.9, 1.3)
     parts = quad((-w / 2, -d / 2, 0), (0, d, 0), (w / 2, 0, h))
     parts += quad((w / 2, -d / 2, 0), (0, d, 0), (-w / 2, 0, h))
-    parts += quad((-w / 2, -d / 2, 0), (w, 0, 0), (0, 0, 0))  # floor
+    parts += quad((-w / 2, -d / 2, 0), (w, 0, 0), (0, d, 0))  # floor
     # triangular ends as two slanted quads each (approximate with quads)
     parts += quad((-w / 2, -d / 2, 0), (w / 2, 0, h), (w, 0, 0))
     parts += quad((-w / 2, d / 2, 0), (w / 2, 0, h), (w, 0, 0))

@@ -34,8 +34,12 @@ def _load_lib():
                 ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
                 check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):
-            _lib = False
-            return _lib
+            # no compiler (or build failed): an already-built .so on disk
+            # (merely older than the source after a checkout) still beats
+            # the numpy fallback — fall through and try to load it
+            if not os.path.exists(_SO):
+                _lib = False
+                return _lib
     try:
         lib = ctypes.CDLL(_SO)
         lib.render_balls.argtypes = [
@@ -47,9 +51,11 @@ def _load_lib():
     return _lib
 
 
-def _render_numpy(h, w, xyz, colors, radii):
-    """Vectorized fallback: nearest-point-wins per pixel, flat shading."""
-    image = np.zeros((h, w, 3), np.uint8)
+def _render_numpy(h, w, xyz, colors, radii, image=None):
+    """Vectorized fallback: nearest-point-wins per pixel, flat shading.
+    `image` (background-initialized) is drawn into when given."""
+    if image is None:
+        image = np.zeros((h, w, 3), np.uint8)
     zbuf = np.full((h, w), -np.inf, np.float32)
     order = np.argsort(xyz[:, 2])  # far-to-near painter with z test
     for i in order:
@@ -110,7 +116,8 @@ def render(points: np.ndarray, colors: np.ndarray | None = None,
                          proj32.ctypes.data, colors8.ctypes.data,
                          radii.ctypes.data)
     else:
-        image = _render_numpy(canvas, canvas, proj, colors, radii)
+        image = _render_numpy(canvas, canvas, proj, colors, radii,
+                              image=image)
     return image
 
 
