@@ -97,7 +97,10 @@ def _room_shell(rng, W, D, H, density):
 
     emit(quad((0, 0, 0), (W, 0, 0), (0, D, 0)), "floor")
     if rng.random() < 0.5:  # many real scans lack ceiling coverage
-        emit(quad((0, 0, H), (W, 0, 0), (0, D, 0)), "floor", boost=0.3)
+        # nyu40 "ceiling" is not in the 21-label list, so the reference
+        # preprocessing maps it to unannotated (scannet_util.py:12-14)
+        emit(quad((0, 0, H), (W, 0, 0), (0, D, 0)), "unannotated",
+             boost=0.3)
     walls = [
         ((0, 0, 0), (W, 0, 0), (0, 0, H)),
         ((0, D, 0), (W, 0, 0), (0, 0, H)),

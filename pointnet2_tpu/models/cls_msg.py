@@ -47,9 +47,9 @@ class PointNet2ClsMSG(nn.Module):
 
         net = l3_points.reshape(l3_points.shape[0], -1)
         net = DenseBN(512, dtype=self.dtype, name="fc1")(net, train, bn_momentum)
-        net = nn.Dropout(0.4, deterministic=not train)(net)
+        net = nn.Dropout(0.6, deterministic=not train)(net)  # keep_prob 0.4
         net = DenseBN(256, dtype=self.dtype, name="fc2")(net, train, bn_momentum)
-        net = nn.Dropout(0.4, deterministic=not train)(net)
+        net = nn.Dropout(0.6, deterministic=not train)(net)  # keep_prob 0.4
         net = DenseBN(self.num_classes, bn=False, activation=None,
                       name="fc3")(net, train, bn_momentum)
         return net.astype(jax.numpy.float32), end_points

@@ -11,8 +11,10 @@ inclusive cumulative sum of the hit mask along the lane axis assigns every
 hit its slot. The cumsum itself runs on the MXU: the 0/1 hit mask and a
 lower-triangular ones matrix are exactly representable in bfloat16, and the
 MXU accumulates in f32, so `mask @ tril` is an *exact* integer cumsum at
-bf16 matmul speed (chunked at 1024 lanes so the triangle stays in VMEM; a
-Hillis-Steele VPU fallback handles lane counts not divisible by the chunk).
+bf16 matmul speed. The triangle is chunked at `_CUMSUM_CHUNK` (256) lanes
+so it stays in VMEM; the MXU path handles lane counts that are a multiple
+of the chunk OR fit in a single (sub-chunk) triangle, and a Hillis-Steele
+VPU fallback covers the remaining non-divisible cases.
 
 Slot extraction exploits that the rank vector is non-decreasing along the
 scan: the index of the (k+1)-th hit equals the *count* of lanes with
@@ -46,15 +48,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import LANE as _LANE
 from pointnet2_tpu.ops.pallas.util import round_up as _round_up
 
-_LANE = 128
 # MXU cumsum triangle size. The matmul cost is TM*Np*CHUNK, so smaller
 # chunks are cheaper (the serial offset chain between chunks is negligible);
 # 256 balances MXU efficiency against chain length.
 _CUMSUM_CHUNK = 256
-
-
 
 
 def _cumsum_lanes_vpu(x: jax.Array, col: jax.Array) -> jax.Array:

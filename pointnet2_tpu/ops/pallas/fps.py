@@ -42,9 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import LANE as _LANE
 from pointnet2_tpu.ops.pallas.util import round_up as _round_up
 
-_LANE = 128
 # Budget for TB*Np (elements per (TB, Np) f32 working plane). The kernel
 # keeps ~8 such planes live (3 coord, 3 diff, min_dist, iota) plus the
 # accumulator: 2^17 elements => ~4 MB of VMEM, well within ~16 MB/core.

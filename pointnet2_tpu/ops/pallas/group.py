@@ -30,11 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
 from pointnet2_tpu.ops.pallas.util import (
+    LANE as _LANE,
     exact_copy_precision as _exact_precision,
     round_up as _round_up,
 )
-
-_LANE = 128
 
 
 def _gather_kernel(idx_ref, pts_ref, out_ref, *, nchunk_size: int):

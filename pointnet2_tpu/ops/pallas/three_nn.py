@@ -28,9 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pointnet2_tpu import config
+from pointnet2_tpu.ops.pallas.util import LANE as _LANE
 from pointnet2_tpu.ops.pallas.util import round_up as _round_up
 
-_LANE = 128
 _PLANE_BUDGET = 1 << 17  # (TN, Mp) f32 working-tile element budget
 _K_PAD = 8  # output lane dim (3 used); 8 keeps Mosaic stores well-formed
 

@@ -6,6 +6,10 @@ import jax
 import jax.numpy as jnp
 
 
+# TPU vector lane width: the last-dim tiling quantum for every kernel here
+LANE = 128
+
+
 def round_up(x: int, m: int) -> int:
     """Smallest multiple of m that is >= x."""
     return ((x + m - 1) // m) * m

@@ -41,13 +41,33 @@ def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
     from before the interruption.
     """
     path = os.path.join(os.path.abspath(directory), name)
+    new, old = path + ".new", path + ".old"
+    # Crash-safe overwrite: orbax's save(force=True) rmtree's the target
+    # BEFORE writing its replacement, so a kill mid-save (watchdog
+    # os._exit, platform kill — the failure modes this module exists to
+    # survive) would destroy the only resume point. Instead: save to a
+    # fresh side directory (orbax commits a fresh path atomically via
+    # tmp+rename), then swap with two renames; load_meta/restore recover
+    # from a crash between the renames via the `.old` generation.
+    if multihost.is_primary():
+        import shutil
+
+        for stale in (new, old):  # leftovers from an earlier crash
+            shutil.rmtree(stale, ignore_errors=True)
+    multihost.barrier(f"ckpt_prep:{name}")
     # Every process participates: orbax's save is itself multihost-
     # coordinated (internal sync_global_devices + primary-host writes for
     # replicated/numpy values), so gating it on one process would deadlock.
     # state is replicated, so device_get is fully local on every host.
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(new, jax.device_get(state))
     if multihost.is_primary():
+        import shutil
+
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(new, path)  # <- the only window; .old recovers it
+        shutil.rmtree(old, ignore_errors=True)
         meta = {"step": int(state.step), "epoch": epoch}
         if score is not None:
             meta["score"] = float(score)
@@ -60,9 +80,21 @@ def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
     return path
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """A crash between save_checkpoint's two renames leaves `<name>.old`
+    but no `<name>`: promote the previous generation back."""
+    old = path + ".old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        try:
+            os.rename(old, path)
+        except OSError:  # another process won the recovery race
+            pass
+
+
 def restore_checkpoint(directory: str, template: TrainState,
                        name: str = "ckpt") -> TrainState:
     path = os.path.join(os.path.abspath(directory), name)
+    _recover_interrupted_swap(path)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           jax.device_get(template))
@@ -73,6 +105,7 @@ def load_meta(directory: str, name: str = "ckpt") -> dict | None:
     """Sidecar meta ({"step", "epoch"}) if a checkpoint exists, else None.
     Checkpoints written before meta existed report step/epoch as None."""
     path = os.path.join(os.path.abspath(directory), name)
+    _recover_interrupted_swap(path)
     if not os.path.isdir(path):
         return None
     try:

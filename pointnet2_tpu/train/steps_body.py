@@ -33,7 +33,7 @@ def _loss_args(batch: dict, task: str):
     raise ValueError(f"unknown task {task!r}")
 
 
-def _accuracy(logits, batch, task):
+def _accuracy(logits, batch, task, pmean_axis=None):
     target = batch["label"] if task == "cls" else batch["seg"]
     hit = (jnp.argmax(logits, -1) == target).astype(jnp.float32)
     mask = batch.get("mask")
@@ -41,8 +41,16 @@ def _accuracy(logits, batch, task):
         return jnp.mean(hit)
     while mask.ndim < hit.ndim:
         mask = mask[..., None]
-    return jnp.sum(hit * mask) / jnp.maximum(
-        jnp.sum(jnp.broadcast_to(mask, hit.shape)), 1.0)
+    num = jnp.sum(hit * mask)
+    den = jnp.sum(jnp.broadcast_to(mask, hit.shape))
+    if pmean_axis is not None:
+        # normalize by the MEAN per-replica valid count so the caller's
+        # pmean over replicas yields the global masked mean (a replica
+        # holding only padding must dilute nothing)
+        den = jax.lax.pmean(den, pmean_axis)
+    # epsilon, not 1.0: the mean per-replica count is legitimately < 1
+    # when valid rows are rarer than replicas; num is 0 whenever den is
+    return num / jnp.maximum(den, 1e-8)
 
 
 # Rematerialization policies for the backward pass. The train step is
@@ -91,8 +99,20 @@ def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
         if mask is None:
             loss = loss_fn(logits, *_loss_args(batch, task))
         else:
-            loss = loss_fn(logits, *_loss_args(batch, task),
-                           sample_weight=mask)
+            # Normalize by the global valid count: with per-replica means
+            # a replica holding only padding would contribute loss 0 and
+            # the caller's pmean would dilute the gradient by the padded
+            # fraction of replicas. Dividing each replica's weighted SUM
+            # by the MEAN per-replica count makes pmean(loss) and
+            # pmean(grads) the exact global masked mean.
+            num, den = loss_fn(logits, *_loss_args(batch, task),
+                               sample_weight=mask, sum_count=True)
+            if mesh_present:
+                den = jax.lax.pmean(den, DATA_AXIS)
+            # epsilon, not 1.0: den (mean per-replica valid count) drops
+            # below 1 when valid rows are rarer than replicas; num is 0
+            # whenever den is, so the quotient stays finite
+            loss = num / jnp.maximum(den, 1e-8)
         return loss, (logits, mutated["batch_stats"])
 
     policy = REMAT_POLICIES[remat]
@@ -101,7 +121,8 @@ def run_one_step(model, loss_fn, tx, bn_momentum_fn, task, augment_fn,
                    else jax.checkpoint(loss_of, policy=policy))
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
         loss_of, has_aux=True)(state.params)
-    acc = _accuracy(logits, batch, task)
+    acc = _accuracy(logits, batch, task,
+                    pmean_axis=DATA_AXIS if mesh_present else None)
     if mesh_present:
         # new_stats needs no reduction: BN statistics are already synced
         # cross-replica inside the forward (see cross_replica_bn).

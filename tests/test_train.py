@@ -299,3 +299,35 @@ def test_train_step_masks_padded_rows(tmp_path):
     for a, b in zip(pa, pb):
         _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
                                     rtol=0, atol=0)
+
+
+def test_checkpoint_overwrite_is_crash_safe(tmp_path):
+    """Overwriting the resume checkpoint must never pass through a state
+    where no restorable checkpoint exists: a kill between the two swap
+    renames leaves `<name>.old`, which load/restore recover."""
+    import os
+    import shutil
+
+    from pointnet2_tpu.data import SyntheticClassification
+    from pointnet2_tpu.train import checkpoint as ckpt
+
+    ds = SyntheticClassification(num_classes=2, samples_per_class=4,
+                                 npoints=32, batch_size=8)
+    tr = _make_trainer(tmp_path)
+    example = next(iter(ds.epoch()))
+    state = tr.init_state(tr._device_view(example))
+
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=1)
+    # second save over the first must leave a loadable checkpoint
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=2)
+    assert ckpt.load_meta(str(tmp_path))["epoch"] == 2
+    path = os.path.join(str(tmp_path), "ckpt")
+    assert not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".new")
+
+    # simulate a crash between the two renames: name gone, .old present
+    shutil.move(path, path + ".old")
+    meta = ckpt.load_meta(str(tmp_path))
+    assert meta is not None and meta["epoch"] == 2, "recovery failed"
+    restored = ckpt.restore_checkpoint(str(tmp_path), state)
+    assert int(restored.step) == int(state.step)
