@@ -218,3 +218,32 @@ def test_jax_pipelines_jittable(nprng):
         out = jax.jit(fn)(key, b)
         assert out.shape == b.shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_normals_chain_is_paper_recipe_order(nprng):
+    """The XYZ+normal chain must apply dropout LAST (after jitter +
+    shuffle), as the reference's commented provider.random_point_dropout
+    sits after next_batch(augment=True) (train.py:201-202): dropped
+    points must be EXACT 6-channel copies of the cloud's first point.
+    If dropout ran before jitter, copies would differ by independent
+    jitter noise; if jitter were missing, xyz would be an exact affine
+    image of the input."""
+    b = _batch(nprng, N=256)
+    # numpy chain
+    out = augment.augment_cls_batch_with_normals(b, np.random.default_rng(3))
+    for bi in range(out.shape[0]):
+        first = out[bi, 0]
+        dup = np.all(out[bi] == first, axis=-1)
+        assert dup.sum() >= 2, "expected dropped points somewhere"
+    # jax chain: same exact-copy property
+    outj = np.asarray(augment_jax.augment_cls_normals(jax.random.PRNGKey(5),
+                                                      jnp.asarray(b)))
+    total_dups = 0
+    for bi in range(outj.shape[0]):
+        total_dups += int(np.all(outj[bi] == outj[bi, 0], axis=-1).sum())
+    assert total_dups > outj.shape[0], "expected dropout duplicates"
+    # jitter present: normals stay unit (rotations), xyz must NOT be a
+    # rigid+scale image of the input (jitter breaks exact affinity)
+    nrm = np.linalg.norm(out[..., 3:6], axis=-1)
+    keep = ~np.all(out == out[:, :1, :], axis=-1)
+    np.testing.assert_allclose(nrm[keep], 1.0, atol=1e-4)
