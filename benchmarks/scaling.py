@@ -88,10 +88,14 @@ def main():
         per_dev = ex_s / n
         if base_per_dev is None:
             base_per_dev = per_dev
+            base_n = n
         results[str(n)] = {
             "examples_per_sec": round(ex_s, 1),
             "per_device": round(per_dev, 1),
+            # efficiency vs the SMALLEST measured mesh — only a true
+            # 1-device baseline makes this the textbook scaling number
             "efficiency": round(per_dev / base_per_dev, 3),
+            "efficiency_baseline_devices": base_n,
         }
         print(f"devices={n:3d}  {ex_s:10.1f} ex/s  "
               f"eff={per_dev / base_per_dev:.3f}", flush=True)

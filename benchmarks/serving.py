@@ -54,8 +54,13 @@ def _timed_calls(fn, calls: int = 30, warmup: int = 3):
         np.asarray(out).ravel()[0]  # client-visible fence
         ts.append(time.perf_counter() - t0)
     ts = np.sort(ts)
+    # interpolated percentile; with few calls the old nearest-index pick
+    # (ts[int(.95*n)]) degenerated to the sample MAX and published a
+    # single transport hiccup as the tail latency
     return {"p50_ms": round(float(np.median(ts)) * 1e3, 2),
-            "p95_ms": round(float(ts[int(0.95 * len(ts))]) * 1e3, 2)}
+            "p95_ms": round(float(np.percentile(ts, 95)) * 1e3, 2),
+            "max_ms": round(float(ts[-1]) * 1e3, 2),
+            "calls": len(ts)}
 
 
 def main() -> None:
@@ -75,13 +80,13 @@ def main() -> None:
 
     # large request streamed through the biggest bucket
     big = rng.rand(512, N_CLS, 3).astype(np.float32)
-    row = _timed_calls(lambda: cls(big), calls=10)
+    row = _timed_calls(lambda: cls(big), calls=20)
     row["clouds_per_sec"] = round(512 / (row["p50_ms"] / 1e3), 1)
     res["cls_b512_stream"] = row
     print("cls_b512_stream", json.dumps(row), flush=True)
 
     votes_in = rng.rand(16, N_CLS, 3).astype(np.float32)
-    row = _timed_calls(lambda: cls.predict_votes(votes_in, 12), calls=10)
+    row = _timed_calls(lambda: cls.predict_votes(votes_in, 12), calls=20)
     row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
     res["cls_b16_vote12"] = row
     print("cls_b16_vote12", json.dumps(row), flush=True)
@@ -93,7 +98,7 @@ def main() -> None:
     scene_pts, _ = generate_scenes(1, seed=0)[0]
     scene_pts = scene_pts.astype(np.float32)
     row = _timed_calls(lambda: seg.predict_scene(scene_pts)["labels"],
-                       calls=8, warmup=2)
+                       calls=16, warmup=2)
     row["scene_points"] = int(len(scene_pts))
     row["points_per_sec"] = round(len(scene_pts) / (row["p50_ms"] / 1e3))
     res["semseg_scene"] = row

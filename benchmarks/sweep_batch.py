@@ -49,17 +49,19 @@ def main() -> None:
             row["model"] = name
             results.append(row)
             print(json.dumps(row), flush=True)
-    # name the peak configuration explicitly
+    # name the peak configuration PER MODEL: raw clouds/s is not
+    # comparable across cloud sizes (a 1024-pt cls cloud is ~8x cheaper
+    # than an 8192-pt sem_seg cloud), so a single global max would always
+    # crown the smallest model
     ok = [r for r in results if "error" not in r]
     summary = {"rows": results, "peak": {}}
-    if ok:
-        peak = max(ok, key=lambda r: r["train_clouds_per_sec"])
-        summary["peak"] = {k: peak[k] for k in ("model", "batch", "npoint",
-                                                "train_clouds_per_sec")
-                           if k in peak}
-        for k in ("train_mfu", "train_tflops", "train_hbm_gbps"):
-            if k in peak:
-                summary["peak"][k] = peak[k]
+    for name in {r["model"] for r in ok}:
+        peak = max((r for r in ok if r["model"] == name),
+                   key=lambda r: r["train_clouds_per_sec"])
+        summary["peak"][name] = {
+            k: peak[k] for k in ("batch", "npoint", "train_clouds_per_sec",
+                                 "train_mfu", "train_tflops",
+                                 "train_hbm_gbps") if k in peak}
     print(json.dumps(summary["peak"]))
     if args.out:
         with open(args.out, "w") as f:

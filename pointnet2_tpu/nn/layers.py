@@ -97,7 +97,14 @@ class BatchNorm(nn.Module):
         (the fused SA chain computes stats inside its Pallas kernels —
         ops/pallas/fused_mlp.py — and writes them back through here)."""
         if not self.is_mutable_collection("batch_stats"):
-            return
+            if self.is_initializing():
+                return
+            # match the loud failure of the unfused __call__ path: a train
+            # apply without mutable=['batch_stats'] must not silently skip
+            # the running-stats update and later evaluate with init stats
+            raise ValueError(
+                "BatchNorm.update_stats in train mode requires "
+                "mutable=['batch_stats'] in model.apply")
         m = jnp.asarray(momentum, jnp.float32)
         cur_mean = self.get_variable("batch_stats", "mean")
         cur_var = self.get_variable("batch_stats", "var")

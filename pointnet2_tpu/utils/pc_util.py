@@ -23,7 +23,13 @@ import numpy as np
 # ----------------------------------------------------------------------
 
 def point_cloud_label_to_surface_voxel_label(point_cloud, label, res=0.0484):
-    """Majority label per occupied voxel. label: (N,) or (N, K)."""
+    """Majority label per occupied voxel. label: (N,) or (N, K).
+
+    NOTE (both variants): the per-axis voxel index can attain nvox (the
+    max-coordinate point) while nvox is also the stride, so voxel
+    (nvox0, y, z) aliases (0, y+1, z). The reference's scannet/pc_util.py
+    has the identical formula; kept bit-for-bit for voxel-accuracy
+    protocol parity."""
     coordmin = point_cloud.min(axis=0)
     nvox = np.ceil((point_cloud.max(axis=0) - coordmin) / res)
     vidx = np.ceil((point_cloud - coordmin) / res)
@@ -169,7 +175,7 @@ def _read_ply_ascii(filename):
                 n = int(line.split()[-1])
             if line == "end_header":
                 break
-        pts = np.loadtxt(f, max_rows=n)
+        pts = np.atleast_2d(np.loadtxt(f, max_rows=n))
     return pts[:, :3].astype(np.float32)
 
 

@@ -65,7 +65,7 @@ def _fence(out) -> None:
 
 
 def time_fn(fn, *args, warmup: int = 1, iters: int = 5) -> float:
-    """Mean wall time per call of fn(*args), fenced by result fetch.
+    """Median wall time per call of fn(*args), fenced by result fetch.
 
     NOTE: includes one host<->device round trip per call (~tens of ms over
     a tunnel). For microbenchmarking sub-ms kernels use
@@ -117,9 +117,13 @@ def time_op_loop(op, x, iters: int = 50, warmup: bool = True,
     `fori_loop` so transport latency amortizes to zero.
 
     `op(x)` may return any pytree. Each iteration feeds a slightly
-    perturbed input that *depends on the previous iteration's output*
-    (blocks CSE/caching and enforces serialization), with negligible extra
-    work. The loop-overhead baseline (iters=0 call) is subtracted.
+    perturbed (index-dependent) input, which defeats result caching and
+    CSE across iterations; ORDERING comes from `fori_loop` itself, which
+    lowers to a sequential XLA While (do not replace it with an unrolled
+    loop or vmap — iterations are NOT data-chained and XLA would overlap
+    them). The loop-overhead baseline (iters=0 call) is subtracted; the
+    methodology is calibrated at ~99.9% of MXU peak on a known-FLOPs
+    matmul (benchmarks/kernels.py).
     """
     import jax.numpy as jnp
 
