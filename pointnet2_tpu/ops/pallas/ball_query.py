@@ -83,8 +83,12 @@ def _cumsum_lanes_mxu(mask: jax.Array) -> jax.Array:
     parts = []
     offset = jnp.zeros((TM, 1), jnp.float32)
     for c in range(Np // ch):
+        # pin DEFAULT precision: 0/1 bf16 operands are exact anyway, and
+        # an ambient jax.default_matmul_precision("highest") context must
+        # not leak HIGHEST into Mosaic (rejected: "Bad lhs type")
         rc = jnp.dot(maskf[:, c * ch:(c + 1) * ch], tril,
-                     preferred_element_type=jnp.float32) + offset
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT) + offset
         parts.append(rc)
         offset = rc[:, -1:]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)

@@ -121,7 +121,8 @@ def _dense_fwd_kernel(x_ref, ab_ref, w_ref, bias_ref, y_ref, s_ref, ss_ref,
     z = z.astype(w_ref.dtype)
     acc = jax.lax.dot_general(
         z, w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # insulate from ambient ctx
     y = (acc + bias_ref[0][None, :]).astype(y_ref.dtype)
     y_ref[...] = y
     if want_stats:
@@ -362,9 +363,11 @@ def _dense_bwd_kernel(yk_ref, yp_ref, g_ref, pk_ref, pp_ref, w_ref,
 
     dy_c = dy.astype(yp_ref.dtype)
     dw = jax.lax.dot_general(zp, dy_c, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
     dzp = jax.lax.dot_general(dy_c, w_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
     dzp_c = dzp.astype(gout_ref.dtype)
     gout_ref[...] = dzp_c.reshape(gout_ref.shape)
 

@@ -249,8 +249,9 @@ def test_sa_pooling_modes_match_numpy_golden(rng, pooling, fuse):
     sa = SetAbstraction(24, 0.3, 8, (16, 32), pooling=pooling,
                         fuse_first=fuse)
     v = _randomized_sa_variables(sa, xyz, pts)
-    nxyz, out, _ = jax.jit(
-        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    with jax.default_matmul_precision("highest"):  # numpy-golden compare
+        nxyz, out, _ = jax.jit(
+            lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
     want_xyz, want = golden.sa_module_np(
         jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
         np.asarray(pts), 24, 0.3, 8, pooling=pooling)
@@ -269,8 +270,9 @@ def test_sa_knn_matches_numpy_golden(rng, fuse):
     pts = jnp.asarray(rng.rand(2, 96, 7).astype(np.float32))
     sa = SetAbstraction(24, None, 8, (16, 32), knn=True, fuse_first=fuse)
     v = _randomized_sa_variables(sa, xyz, pts)
-    nxyz, out, idx = jax.jit(
-        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    with jax.default_matmul_precision("highest"):  # numpy-golden compare
+        nxyz, out, idx = jax.jit(
+            lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
     want_xyz, want = golden.sa_module_np(
         jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
         np.asarray(pts), 24, None, 8, knn=True)
@@ -290,8 +292,9 @@ def test_sa_mlp2_matches_numpy_golden(rng, group_all):
                         None if group_all else 8, (16, 32), mlp2=(24, 12),
                         group_all=group_all)
     v = _randomized_sa_variables(sa, xyz, pts)
-    _, out, _ = jax.jit(
-        lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
+    with jax.default_matmul_precision("highest"):  # numpy-golden compare
+        _, out, _ = jax.jit(
+            lambda v, x, p: sa.apply(v, x, p, train=False))(v, xyz, pts)
     _, want = golden.sa_module_np(
         jax.tree_util.tree_map(np.asarray, v), np.asarray(xyz),
         np.asarray(pts), 24, 0.3, 8, group_all=group_all, has_mlp2=True)
@@ -335,21 +338,24 @@ def test_fp_fused_first_layer_matches_unfused(rng, use_skip):
     fused = FeaturePropagation((16, 8), fuse_first=True)
     plain = FeaturePropagation((16, 8), fuse_first=False)
     v = fused.init(jax.random.PRNGKey(0), xyz1, xyz2, p1, p2, train=False)
-    got = fused.apply(v, xyz1, xyz2, p1, p2, train=False)
-    want = plain.apply(v, xyz1, xyz2, p1, p2, train=False)
-    tol = 2e-2 if jax.default_backend() == "tpu" else 1e-4
+    # HIGHEST matmul precision: at the TPU default the MXU truncates f32
+    # operands to bf16, and the two layouts reassociate differently
+    with jax.default_matmul_precision("highest"):
+        got = fused.apply(v, xyz1, xyz2, p1, p2, train=False)
+        want = plain.apply(v, xyz1, xyz2, p1, p2, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=tol, atol=tol * 0.3)
+                               rtol=1e-3, atol=3e-4)
     # gradients flow through both layouts identically (scatter-add vjp)
     def loss(v, fp):
         out, _ = fp.apply(v, xyz1, xyz2, p1, p2, train=True,
                           mutable=["batch_stats"])
         return jnp.sum(out ** 2)
 
-    g1 = jax.grad(lambda v: loss(v, fused))({"params": v["params"],
-                                             "batch_stats": v["batch_stats"]})
-    g2 = jax.grad(lambda v: loss(v, plain))({"params": v["params"],
-                                             "batch_stats": v["batch_stats"]})
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(lambda v: loss(v, fused))(
+            {"params": v["params"], "batch_stats": v["batch_stats"]})
+        g2 = jax.grad(lambda v: loss(v, plain))(
+            {"params": v["params"], "batch_stats": v["batch_stats"]})
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -367,7 +373,8 @@ def test_fp_fused_few_known_points(rng):
     fused = FeaturePropagation((8,), fuse_first=True)
     plain = FeaturePropagation((8,), fuse_first=False)
     v = fused.init(jax.random.PRNGKey(0), xyz1, xyz2, None, p2, train=False)
-    got = fused.apply(v, xyz1, xyz2, None, p2, train=False)
-    want = plain.apply(v, xyz1, xyz2, None, p2, train=False)
+    with jax.default_matmul_precision("highest"):
+        got = fused.apply(v, xyz1, xyz2, None, p2, train=False)
+        want = plain.apply(v, xyz1, xyz2, None, p2, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
