@@ -36,6 +36,8 @@ def main() -> None:
     sparse_xyz = rng.uniform(-1, 1, (1, args.sparse, 3)).astype(np.float32)
     sparse_color = rng.uniform(0, 1, (1, args.sparse, 3)).astype(np.float32)
     g = int(round(args.dense ** (1 / 3)))
+    if g ** 3 != args.dense:
+        print(f"--dense {args.dense} rounded to the nearest cube: {g ** 3}")
     lin = np.linspace(-1, 1, g, dtype=np.float32)
     gx, gy, gz = np.meshgrid(lin, lin, lin)
     dense_xyz = np.stack([gx, gy, gz], -1).reshape(1, -1, 3)

@@ -55,13 +55,15 @@ def main() -> None:
     print("dense:", dense.shape, "reduced:", reduced.shape)
 
     for name, pts in [("dense", dense[0]), ("reduced", reduced[0])]:
-        img = render(pts)
+        img = render(pts)  # RGB, as the other demos save via PIL
         path = os.path.join(args.out, f"{name}.png")
         try:
-            import cv2
-            cv2.imwrite(path, img)
+            from PIL import Image
+
+            Image.fromarray(img).save(path)
         except ImportError:
-            np.save(path + ".npy", img)
+            path += ".npy"
+            np.save(path, img)
         print("wrote", path)
 
 

@@ -7,9 +7,13 @@ arbitrary-size scene through the compiled fixed-shape path — standard
 1.5 m tiling with 0.2 m overlap, full point coverage (every member of
 every block is scored), and summed-logit ensembling in the overlap bands.
 
-Run (defaults to the committed procedural-ScanNet training run):
+Run:
   python examples/scene_inference_demo.py \
-      [--ckpt runs/procscannet_semseg_bf16] [--out scene_pred.png]
+      --ckpt runs/procscannet_semseg_bf16 [--out scene_pred.png]
+Without --ckpt (checkpoints are run artifacts, not committed) the demo
+drives the identical pipeline with randomly initialized weights and says
+so — train one first with the docs/ACCURACY.md ScanNet recipe for real
+labels.
 
 Measured on the r3 run's best checkpoint with a held-out generated room
 (seed 999, 78k points): annotated-point accuracy 0.68, every point
@@ -19,13 +23,20 @@ scored by 1-4 block votes.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--ckpt", default="runs/procscannet_semseg_bf16")
+    ap.add_argument("--ckpt", default=None,
+                    help="run dir with an orbax checkpoint (e.g. "
+                         "runs/procscannet_semseg_bf16); omitted = "
+                         "random weights, pipeline demo only")
     ap.add_argument("--ckpt_name", default="best")
     ap.add_argument("--seed", type=int, default=999)
     ap.add_argument("--out", default=None,
@@ -35,9 +46,22 @@ def main() -> None:
     from pointnet2_tpu.data.procedural_scannet import make_scene
     from pointnet2_tpu.serving import Predictor
 
-    pred = Predictor.from_checkpoint(
-        "pointnet2_sem_seg", args.ckpt, num_point=8192,
-        name=args.ckpt_name, buckets=(16,))
+    if args.ckpt:
+        pred = Predictor.from_checkpoint(
+            "pointnet2_sem_seg", args.ckpt, num_point=8192,
+            name=args.ckpt_name, buckets=(16,))
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from pointnet2_tpu.models import MODEL_REGISTRY
+
+        print("no --ckpt: running with RANDOM weights (pipeline demo; "
+              "labels will be noise)")
+        model = MODEL_REGISTRY["pointnet2_sem_seg"].cls()
+        variables = jax.jit(lambda k, x: model.init(k, x))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8192, 3), jnp.float32))
+        pred = Predictor("pointnet2_sem_seg", variables, buckets=(16,))
     rng = np.random.default_rng(args.seed)
     pts, lbl = make_scene(rng, min_points=80_000, max_points=100_000)
     out = pred.predict_scene(pts, npoints=8192, seed=0)

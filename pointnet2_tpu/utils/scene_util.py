@@ -32,9 +32,12 @@ def virtual_scan(xyz: np.ndarray, mode: int = -1,
     """Return indices of points visible from a virtual camera.
 
     mode in 0..7 selects one of 8 fixed view directions (pi/4 steps);
-    mode=-1 draws a random view (requires rng).
+    mode=-1 draws a random view and REQUIRES rng (an explicit generator
+    keeps the scan reproducible; erroring beats silently unseeded draws).
     """
-    rng = rng or np.random.default_rng()
+    if mode == -1 and rng is None:
+        raise TypeError("virtual_scan(mode=-1) requires an explicit rng "
+                        "(pass np.random.default_rng(seed))")
     camloc = xyz.mean(axis=0)
     camloc[2] = 1.5  # human height
     if mode == -1:

@@ -27,8 +27,12 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                   < os.path.getmtime(_SRC)):
+    try:
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    except OSError:  # source pruned from the install; use the .so as-is
+        stale = not os.path.exists(_SO)
+    if stale:
         try:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
@@ -59,15 +63,16 @@ def _render_numpy(h, w, xyz, colors, radii, image=None):
     zbuf = np.full((h, w), -np.inf, np.float32)
     order = np.argsort(xyz[:, 2])  # far-to-near painter with z test
     for i in order:
-        x, y, z = xyz[i]
+        xf, yf, z = xyz[i]
         r = int(max(radii[i], 1))
-        x, y = int(round(x)), int(round(y))
+        x, y = int(round(xf)), int(round(yf))
         x0, x1 = max(x - r, 0), min(x + r + 1, h)
         y0, y1 = max(y - r, 0), min(y + r + 1, w)
         if x0 >= x1 or y0 >= y1:
             continue
         gx, gy = np.mgrid[x0:x1, y0:y1]
-        d2 = (gx - x) ** 2 + (gy - y) ** 2
+        # exact float centers, matching the C++ rasterizer's geometry
+        d2 = (gx - xf) ** 2 + (gy - yf) ** 2
         inside = d2 <= r * r
         dz = np.sqrt(np.maximum(r * r - d2, 0))
         zs = z + dz

@@ -14,7 +14,12 @@ suite against the real chip instead.
 
 import os
 
-if not os.environ.get("RUN_TESTS_ON_TPU"):
+# "0"/"false"/"" must mean OFF — presence-only parsing would send a user
+# who exported RUN_TESTS_ON_TPU=0 to the real chip
+_ON_TPU = os.environ.get("RUN_TESTS_ON_TPU", "").lower() not in (
+    "", "0", "false", "no")
+
+if not _ON_TPU:
     if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -36,16 +41,18 @@ if not os.environ.get("RUN_TESTS_ON_TPU"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-if os.environ.get("RUN_TESTS_ON_TPU"):
+if _ON_TPU:
     # Remote Mosaic/XLA compiles (20-120 s each) dominate on-chip suite
     # time; a persistent cache makes the periodic on-chip pass affordable.
+    # Same JAX_TEST_NO_CACHE opt-out as the CPU branch.
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if not os.environ.get("JAX_TEST_NO_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -52,26 +52,31 @@ def ball_query_np(radius: float, nsample: int, xyz1: np.ndarray, xyz2: np.ndarra
 def three_nn_np(xyz1: np.ndarray, xyz2: np.ndarray):
     B, N, _ = xyz1.shape
     M = xyz2.shape[1]
-    dist = np.zeros((B, N, 3), np.float32)
+    # M < 3: missing slots keep init values idx=0 / dist=1e40-class
+    # (tf_interpolate.cpp:66-67); inf mirrors ops.three_nn
+    dist = np.full((B, N, 3), np.inf, np.float32)
     idx = np.zeros((B, N, 3), np.int32)
+    m = min(3, xyz2.shape[1])
     for b in range(B):
         d2 = np.sum((xyz1[b][:, None, :] - xyz2[b][None, :, :]) ** 2, axis=-1)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :3]
-        idx[b] = order
-        dist[b] = np.take_along_axis(d2, order, axis=1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+        idx[b, :, :m] = order
+        dist[b, :, :m] = np.take_along_axis(d2, order, axis=1)
     return dist, idx
 
 
 def knn_np(k: int, xyz1: np.ndarray, xyz2: np.ndarray):
     B = xyz1.shape[0]
     M = xyz2.shape[1]
-    val = np.zeros((B, M, k), np.float32)
+    # fewer dataset points than k: missing slots keep idx=0 / dist=inf
+    val = np.full((B, M, k), np.inf, np.float32)
     idx = np.zeros((B, M, k), np.int32)
+    kk = min(k, xyz1.shape[1])
     for b in range(B):
         d2 = np.sum((xyz2[b][:, None, :] - xyz1[b][None, :, :]) ** 2, axis=-1)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
-        idx[b] = order
-        val[b] = np.take_along_axis(d2, order, axis=1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        idx[b, :, :kk] = order
+        val[b, :, :kk] = np.take_along_axis(d2, order, axis=1)
     return val, idx
 
 
