@@ -42,7 +42,7 @@ BASELINE_CLOUDS_PER_SEC = 600.0
 # ~740 GB/s, ~90% of the XLA-achievable bandwidth on this platform
 # (docs/PERF.md roofline section; B-sweep in BENCH_SWEEP_r03.json shows
 # throughput flat in batch, i.e. saturated at the reference's B=32).
-MXU_BF16_TFLOPS = 197.0
+from pointnet2_tpu.utils.profiling import MXU_BF16_TFLOPS  # chip bf16 peak
 
 BATCH = 32
 NPOINTS = 1024

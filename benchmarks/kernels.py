@@ -25,9 +25,10 @@ from pointnet2_tpu.ops import farthest_point_sample, query_ball_point, three_nn
 from pointnet2_tpu.ops.grouping import group_point, knn_point
 from pointnet2_tpu.utils.profiling import time_op_loop
 
+from pointnet2_tpu.utils.profiling import MXU_BF16_TFLOPS
+
 # v5e single-chip peaks for roofline context
 HBM_GBPS = 819.0
-MXU_BF16_TFLOPS = 197.0
 VPU_TOPS = 3.8  # rough elementwise f32 Telem-ops/s
 
 

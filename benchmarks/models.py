@@ -24,7 +24,7 @@ import numpy as np
 from pointnet2_tpu.models import MODEL_REGISTRY
 from pointnet2_tpu.utils.profiling import compiled_cost, time_op_loop
 
-from kernels import MXU_BF16_TFLOPS  # single source of the chip peak
+from pointnet2_tpu.utils.profiling import MXU_BF16_TFLOPS
 
 # (model, batch, npoint, in_channels) at the reference's training configs
 CONFIGS = [

@@ -99,9 +99,10 @@ def query_ball_and_group_xyz(radius: float, nsample: int, xyz1: jax.Array,
     if config.resolve_impl(impl) == "pallas":
         return _bq_group_pallas(radius, nsample, xyz1, xyz2)
     idx, cnt = _ball_query_xla(radius, nsample, xyz1, xyz2)
-    # route the gather through the impl dispatch (mxu one-hot by default —
-    # its scatter-grad is the measured-fast path), not _group_point_xla
-    return idx, cnt, group_point(xyz1, idx)
+    # forward the caller's impl so an explicit impl="xla"/"mxu" isolates that
+    # gather path end to end; impl=None keeps the default dispatch (mxu
+    # one-hot on TPU — its scatter-grad is the measured-fast path)
+    return idx, cnt, group_point(xyz1, idx, impl=impl)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

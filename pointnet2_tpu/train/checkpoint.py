@@ -52,6 +52,13 @@ def save_checkpoint(directory: str, state: TrainState, name: str = "ckpt",
     if multihost.is_primary():
         import shutil
 
+        # If a previous process died between the two renames (path missing,
+        # only `.old` alive), promote the survivor back BEFORE treating
+        # `.old` as stale — otherwise the rmtree below would delete the sole
+        # resume point before its replacement exists. Trainer always calls
+        # load_meta first (which also recovers), but direct API users may
+        # save without restoring.
+        _recover_interrupted_swap(path)
         for stale in (new, old):  # leftovers from an earlier crash
             shutil.rmtree(stale, ignore_errors=True)
     multihost.barrier(f"ckpt_prep:{name}")

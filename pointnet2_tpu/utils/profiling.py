@@ -18,6 +18,10 @@ from collections import deque
 
 import jax
 
+# Peak dense bf16 MXU throughput of the target chip (TPU v5e), TFLOP/s.
+# Single source for every MFU computation in bench.py / benchmarks/.
+MXU_BF16_TFLOPS = 197.0
+
 
 @contextlib.contextmanager
 def trace(logdir: str):

@@ -331,3 +331,40 @@ def test_checkpoint_overwrite_is_crash_safe(tmp_path):
     assert meta is not None and meta["epoch"] == 2, "recovery failed"
     restored = ckpt.restore_checkpoint(str(tmp_path), state)
     assert int(restored.step) == int(state.step)
+
+
+def test_save_into_crashed_swap_state_keeps_resume_point(tmp_path, monkeypatch):
+    """Direct-API hazard (ADVICE r4): save_checkpoint called on a directory
+    left in the crashed-between-renames state (only `.old` alive) must
+    recover the survivor BEFORE clearing stale side dirs — if the new save
+    then dies mid-write, the previous generation must still restore."""
+    import os
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    from pointnet2_tpu.data import SyntheticClassification
+    from pointnet2_tpu.train import checkpoint as ckpt
+
+    ds = SyntheticClassification(num_classes=2, samples_per_class=4,
+                                 npoints=32, batch_size=8)
+    tr = _make_trainer(tmp_path)
+    example = next(iter(ds.epoch()))
+    state = tr.init_state(tr._device_view(example))
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=1)
+    path = os.path.join(str(tmp_path), "ckpt")
+    # crashed-between-renames state: name gone, only .old survives
+    shutil.move(path, path + ".old")
+
+    # the very next save dies inside orbax, before any rename
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated mid-save crash")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ckpt.save_checkpoint(str(tmp_path), state, epoch=2)
+    # the epoch-1 generation must still be restorable
+    meta = ckpt.load_meta(str(tmp_path))
+    assert meta is not None and meta["epoch"] == 1
+    restored = ckpt.restore_checkpoint(str(tmp_path), state)
+    assert int(restored.step) == int(state.step)
