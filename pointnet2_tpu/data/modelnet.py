@@ -50,6 +50,14 @@ def _pad_batch(arrs: list[np.ndarray], batch_size: int):
     return [np.concatenate([a, r], 0) for a, r in zip(arrs, reps)], n
 
 
+def _zero_cls_batch(batch_size: int, npoints: int, channels: int) -> dict:
+    """All-padding classification batch (nvalid=0), built from shape
+    metadata alone so lockstep eval works on hosts whose shard holds zero
+    batches (evaluation/lockstep.py)."""
+    return {"points": np.zeros((batch_size, npoints, channels), np.float32),
+            "label": np.zeros((batch_size,), np.int32), "nvalid": 0}
+
+
 class ModelNetH5Dataset:
     """Multi-file HDF5 ModelNet40 reader (XYZ, up to 2048 points/shape)."""
 
@@ -85,6 +93,10 @@ class ModelNetH5Dataset:
 
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
+
+    def zero_batch(self) -> dict:
+        return _zero_cls_batch(self.batch_size, self.npoints,
+                               self.num_channel())
 
     def epoch(self, augment: bool = False) -> Iterator[dict]:
         order = (self._rng.permutation(len(self)) if self.shuffle
@@ -144,6 +156,10 @@ class ModelNetDataset:
 
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
+
+    def zero_batch(self) -> dict:
+        return _zero_cls_batch(self.batch_size, self.npoints,
+                               self.num_channel())
 
     _pc_normalize = staticmethod(pc_normalize)
 

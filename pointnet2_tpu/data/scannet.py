@@ -99,6 +99,14 @@ class _ScannetBase:
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
 
+    def zero_batch(self) -> dict:
+        """All-padding sem-seg batch (nvalid=0) from shape metadata — see
+        evaluation/lockstep.py."""
+        B, N = self.batch_size, self.npoints
+        return {"points": np.zeros((B, N, 3), np.float32),
+                "seg": np.zeros((B, N), np.int32),
+                "smpw": np.zeros((B, N), np.float32), "nvalid": 0}
+
     def scene_meta(self, index: int):
         """Cached (coordmin, coordmax) bounds. Scenes are stored x-sorted
         (see __init__), so the slab prefilter needs no ordering metadata —

@@ -21,6 +21,14 @@ import numpy as np
 
 from pointnet2_tpu.data.modelnet import _pad_batch, pc_normalize
 
+
+def _zero_part_batch(batch_size: int, npoints: int) -> dict:
+    """All-padding part-seg batch (nvalid=0) from shape metadata — see
+    evaluation/lockstep.py (points are always xyz+normal, 6 channels)."""
+    return {"points": np.zeros((batch_size, npoints, 6), np.float32),
+            "seg": np.zeros((batch_size, npoints), np.int32),
+            "cls_label": np.zeros((batch_size,), np.int32), "nvalid": 0}
+
 SEG_CLASSES = {
     "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35],
     "Rocket": [41, 42, 43], "Car": [8, 9, 10, 11], "Laptop": [28, 29],
@@ -91,6 +99,9 @@ class PartNormalDataset:
 
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
+
+    def zero_batch(self) -> dict:
+        return _zero_part_batch(self.batch_size, self.npoints)
 
     def _get(self, index: int):
         if index in self._cache:
@@ -165,6 +176,9 @@ class SyntheticShapeNetPart:
 
     def num_batches(self) -> int:
         return -(-len(self) // self.batch_size)
+
+    def zero_batch(self) -> dict:
+        return _zero_part_batch(self.batch_size, self.data.shape[1])
 
     def epoch(self, augment: bool = False) -> Iterator[dict]:
         order = (self._rng.permutation(len(self)) if self.shuffle

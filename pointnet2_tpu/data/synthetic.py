@@ -73,6 +73,12 @@ class SyntheticClassification:
             (pts, lbl), nvalid = _pad_batch([pts, lbl], self.batch_size)
             yield {"points": pts, "label": lbl, "nvalid": nvalid}
 
+    def zero_batch(self) -> dict:
+        from pointnet2_tpu.data.modelnet import _zero_cls_batch
+
+        return _zero_cls_batch(self.batch_size, self.npoints,
+                               self.num_channel())
+
 
 class SyntheticSegmentation:
     """Per-point labels = nearest anchor id; tests the seg decoders."""
@@ -113,3 +119,9 @@ class SyntheticSegmentation:
             (pts, seg, smpw), nvalid = _pad_batch([pts, seg, smpw],
                                                   self.batch_size)
             yield {"points": pts, "seg": seg, "smpw": smpw, "nvalid": nvalid}
+
+    def zero_batch(self) -> dict:
+        B, (N, C) = self.batch_size, self.data.shape[1:]
+        return {"points": np.zeros((B, N, C), np.float32),
+                "seg": np.zeros((B, N), np.int32),
+                "smpw": np.zeros((B, N), np.float32), "nvalid": 0}

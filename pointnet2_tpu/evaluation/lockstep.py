@@ -6,6 +6,13 @@ the same number of eval dispatches or the job deadlocks. Hosts agree on
 the MAX per-host batch count; exhausted hosts feed zero-filled batches
 with nvalid=0, which contribute nothing to the (allreduced) counters —
 the same contract Trainer.eval_epoch uses (train/trainer.py).
+
+The zero batch comes from the dataset's shape metadata
+(``dataset.zero_batch()``), NOT from the first locally-seen batch: at many
+hosts / small eval splits a host's shard can legally hold ZERO batches
+(multihost.shard_bounds gives non-final ranks ``num_items // count`` items,
+which is 0 when items < hosts), and such a host still has to feed
+`num_global` padding batches.
 """
 
 from __future__ import annotations
@@ -30,12 +37,12 @@ def lockstep_batches(dataset, multihost, **epoch_kw) -> Iterator[dict]:
     num_global = multihost.sync_num_batches(dataset.num_batches(),
                                             reduce="max")
     it = iter(dataset.epoch(augment=False, **epoch_kw))
-    template = None
+    zero = None
     for _ in range(num_global):
         batch = next(it, None)
         if batch is None:
-            assert template is not None, "no local batches to template from"
-            batch = _zero_like_batch(template)
-        else:
-            template = batch
+            if zero is None:
+                zero = dataset.zero_batch()
+            # fresh arrays each time: consumers may write into the batch
+            batch = _zero_like_batch(zero)
         yield batch

@@ -74,10 +74,34 @@ def run_fit(pid: int, nproc: int, log_dir: str) -> None:
 
     res = evaluate_cls_voting(logits_fn, eval_ds, num_votes=2,
                               num_classes=5, rng=0, log_fn=lambda m: None)
+
+    # EMPTY-SHARD lockstep: a tiny eval split (3 items < nproc hosts) gives
+    # every non-final rank a 0-batch shard (shard_bounds: per=0); those
+    # hosts must feed zero batches built from dataset.zero_batch() metadata
+    # — there is no local batch to template from — and the allreduced
+    # counters still see all 3 global items.
+    tiny_seen = -1
+    tiny_acc = float("nan")
+    if nproc >= 2:
+        tiny = SyntheticClassification(num_classes=5, samples_per_class=1,
+                                       npoints=32, batch_size=local_batch,
+                                       seed=5)
+        tiny.data, tiny.label = tiny.data[:3], tiny.label[:3]
+        sl = _host_slice(3, (pid, nproc))
+        tiny.data, tiny.label = tiny.data[sl], tiny.label[sl]
+        acc_tiny = trainer2.eval_epoch(state2, tiny, epoch=100)
+        res_tiny = evaluate_cls_voting(logits_fn, tiny, num_votes=2,
+                                       num_classes=5, rng=0,
+                                       log_fn=lambda m: None)
+        tiny_seen = int(res_tiny["per_class_seen"].sum())
+        tiny_acc = float(acc_tiny)
+
     print(f"FIT_RESULT pid={pid} acc={acc:.6f} acc2={acc2:.6f} "
           f"step={int(state2.step)} epoch={meta['epoch']}", flush=True)
     print(f"VOTE_RESULT pid={pid} acc={res['accuracy']:.6f} "
           f"seen={int(res['per_class_seen'].sum())}", flush=True)
+    print(f"TINY_RESULT pid={pid} acc={tiny_acc:.6f} seen={tiny_seen}",
+          flush=True)
 
 
 def main() -> None:

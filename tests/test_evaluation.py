@@ -62,8 +62,9 @@ def test_cls_voting_perfect_oracle():
 
 
 def test_cls_voting_votes_rotate_and_sum():
-    """Vote protocol must call the model num_votes times per batch with
-    rotated inputs."""
+    """Vote protocol must score num_votes distinct rotated views per batch
+    — stacked along the batch axis into ONE model call per eval batch
+    (the r4 per-vote dispatch loop paid a ~13x transport penalty)."""
     ds = SyntheticClassification(num_classes=2, samples_per_class=4,
                                  npoints=16, batch_size=8)
     calls = []
@@ -74,9 +75,39 @@ def test_cls_voting_votes_rotate_and_sum():
 
     evaluate_cls_voting(eval_fn, ds, num_votes=3, num_classes=2, rng=0,
                         log_fn=lambda s: None)
-    assert len(calls) == 3 * ds.num_batches()
+    # one dispatch per batch, votes stacked along batch
+    assert len(calls) == ds.num_batches()
+    assert calls[0].shape == (3 * 8, 16, 3)
     # vote 0 is rotation by angle 0 but point-shuffled; votes differ
-    assert not np.allclose(calls[0], calls[1])
+    v0, v1 = calls[0][:8], calls[0][8:16]
+    assert not np.allclose(v0, v1)
+
+
+def test_cls_voting_batched_matches_sequential_loop():
+    """The batch-stacked vote must equal the reference's per-vote loop
+    (evaluate.py:126-141) given the same rng stream."""
+    from pointnet2_tpu.data import augment as A
+    from pointnet2_tpu.evaluation.cls_vote import vote_logits
+
+    gen = np.random.default_rng(7)
+    pts = gen.standard_normal((5, 24, 3)).astype(np.float32)
+    W = gen.standard_normal((24 * 3, 4)).astype(np.float32)
+
+    def eval_fn(points):  # deterministic per-row "model"
+        return np.tanh(points.reshape(points.shape[0], -1) @ W)
+
+    got = vote_logits(eval_fn, pts, num_votes=4, rng=3)
+
+    # reference-style sequential loop, same rng consumption order
+    rng = np.random.default_rng(3)
+    want = None
+    for v in range(4):
+        perm = rng.permutation(24)
+        rot = A.rotate_point_cloud_by_angle(pts[:, perm, :],
+                                            v / 4.0 * np.pi * 2)
+        lg = np.asarray(eval_fn(rot), np.float64)
+        want = lg if want is None else want + lg
+    np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
 # ---------------------------------------------------------------- part mIoU
@@ -230,3 +261,91 @@ def test_voxel_label_fast_groups_by_voxel():
     assert len(uvidx) == 2  # first two points share a voxel
     assert uvlabel[0] == 3  # first-point label wins
     assert uvlabel[1] == 5
+
+
+# ---------------------------------------------------------------- lockstep
+
+
+def test_lockstep_zero_local_batches_feeds_metadata_zero_batches():
+    """A host whose shard holds ZERO batches (legal at many hosts / small
+    splits) must still feed `num_global` zero batches built from dataset
+    shape metadata — there is no local batch to template from."""
+    from pointnet2_tpu.evaluation.lockstep import lockstep_batches
+
+    ds = SyntheticClassification(num_classes=5, samples_per_class=1,
+                                 npoints=32, batch_size=4, seed=0)
+    ds.data, ds.label = ds.data[:0], ds.label[:0]  # empty host shard
+    assert ds.num_batches() == 0
+
+    class FakeMultihost:
+        @staticmethod
+        def sync_num_batches(n, reduce="max"):
+            return 3  # another host owns 3 batches
+
+    batches = list(lockstep_batches(ds, FakeMultihost))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["nvalid"] == 0
+        assert b["points"].shape == (4, 32, 3)
+        assert b["points"].dtype == np.float32
+        assert b["label"].shape == (4,) and b["label"].dtype == np.int32
+        assert not b["points"].any()
+    # fresh arrays each yield: consumers may write into a batch
+    batches[0]["points"][:] = 1.0
+    assert not batches[1]["points"].any()
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: SyntheticClassification(num_classes=3, samples_per_class=2,
+                                    npoints=16, batch_size=4, seed=0),
+    lambda: SyntheticShapeNetPart(num_samples=4, npoints=32, batch_size=4,
+                                  seed=0),
+    lambda: ScannetDataset(scenes=make_synthetic_scenes(2, 4000),
+                           npoints=128, split="test", batch_size=2, seed=0),
+])
+def test_zero_batch_matches_epoch_structure(maker):
+    """zero_batch() must agree with real batches on keys/shapes/dtypes so
+    the lockstep padding batches are drop-in for the jitted eval step."""
+    ds = maker()
+    real = next(iter(ds.epoch(augment=False)))
+    zero = ds.zero_batch()
+    assert set(zero) == set(real)
+    for k in real:
+        if k == "nvalid":
+            assert zero[k] == 0
+            continue
+        assert np.asarray(zero[k]).shape == np.asarray(real[k]).shape, k
+        assert np.asarray(zero[k]).dtype == np.asarray(real[k]).dtype, k
+
+
+def test_part_voting_batched_matches_sequential_loop():
+    """Batch-stacked part-seg votes (one dispatch per batch) must equal the
+    per-vote loop (part_seg/evaluate.py:138-144) given the same rng."""
+    ds = SyntheticShapeNetPart(num_samples=4, npoints=32, batch_size=4,
+                               seed=1)
+    gen = np.random.default_rng(11)
+    W = gen.standard_normal((6, NUM_PARTS)).astype(np.float32)
+
+    def eval_fn(batch):  # per-point deterministic "model"
+        return np.tanh(batch["points"] @ W)
+
+    got = evaluate_part_seg_voting(eval_fn, ds, num_votes=3, rng=5,
+                                   log_fn=lambda s: None)
+
+    # sequential reference with the same rng stream, same metric machinery
+    rng = np.random.default_rng(5)
+    metrics = PartSegMetrics()
+    for batch in ds.epoch(augment=False):
+        pts, seg, nvalid = batch["points"], batch["seg"], batch["nvalid"]
+        N = pts.shape[1]
+        pred_sum = np.zeros((pts.shape[0], N, NUM_PARTS), np.float64)
+        for _ in range(3):
+            perm = rng.permutation(N)
+            lg = np.asarray(eval_fn(dict(batch, points=pts[:, perm])),
+                            np.float64)
+            pred_sum[:, perm, :] += lg
+        metrics.update(pred_sum[:nvalid], seg[:nvalid])
+    want = metrics.result(log_fn=lambda s: None)
+    assert got["accuracy"] == pytest.approx(want["accuracy"], abs=1e-12)
+    assert got["instance_miou"] == pytest.approx(want["instance_miou"],
+                                                 abs=1e-12)

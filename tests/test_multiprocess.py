@@ -151,12 +151,19 @@ def test_four_process_fit_uneven_shards(tmp_path):
         v = re.search(r"VOTE_RESULT pid=\d acc=([0-9.]+) seen=(\d+)", stdout)
         assert v, stdout + stderr[-1000:]
         assert int(v.group(2)) == 25, stdout
+        # EMPTY-SHARD lockstep (3 eval items over 4 hosts -> 0/0/0/3):
+        # ranks with zero local batches feed metadata-built zero batches;
+        # eval + voting complete and the counters see all 3 items
+        t = re.search(r"TINY_RESULT pid=\d acc=([0-9.]+|nan) seen=(\d+)",
+                      stdout)
+        assert t, stdout + stderr[-1000:]
+        assert int(t.group(2)) == 3, stdout
         results.append(tuple(float(g) for g in m.groups())
-                       + (float(v.group(1)),))
+                       + (float(v.group(1)), float(t.group(1))))
 
     for r in results[1:]:
         np.testing.assert_allclose(results[0], r, rtol=1e-6)
-    acc, acc2, step, epoch, _vote_acc = results[0]
+    acc, acc2, step, epoch, _vote_acc, _tiny_acc = results[0]
     # 25 items over 4 hosts -> 7/6/6/6 items -> 4/3/3/3 local batches ->
     # min 3 lockstep steps/epoch, 3 total epochs (2 + 1 after resume)
     assert step == 9 and epoch == 3
