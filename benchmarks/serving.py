@@ -86,10 +86,42 @@ def main() -> None:
     print("cls_b512_stream", json.dumps(row), flush=True)
 
     votes_in = rng.rand(16, N_CLS, 3).astype(np.float32)
+    # batch-stacked votes through the default buckets: 192 rows -> 3
+    # dispatches of the 64-bucket (r4 issued 12 dispatches, one per vote)
     row = _timed_calls(lambda: cls.predict_votes(votes_in, 12), calls=20)
     row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
     res["cls_b16_vote12"] = row
     print("cls_b16_vote12", json.dumps(row), flush=True)
+
+    # one-dispatch variant: bucket sized to V*B
+    cls_wide = _fresh_predictor("pointnet2_cls_ssg", N_CLS,
+                                buckets=(16, 192))
+    row = _timed_calls(lambda: cls_wide.predict_votes(votes_in, 12),
+                       calls=20)
+    row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
+    res["cls_b16_vote12_wide"] = row
+    print("cls_b16_vote12_wide", json.dumps(row), flush=True)
+
+    # the r4 protocol for comparison: one dispatch PER VOTE (the
+    # reference's sess.run loop, evaluate.py:126-141) — documents the
+    # dispatch-floor penalty the batched path removes
+    from pointnet2_tpu.data import augment as A
+
+    def sequential_votes():
+        g = np.random.default_rng(0)
+        total = None
+        for v in range(12):
+            perm = g.permutation(N_CLS)
+            rot = A.rotate_point_cloud_by_angle(votes_in[:, perm, :],
+                                                v / 12.0 * 2 * np.pi)
+            lg = np.asarray(cls(rot), np.float64)
+            total = lg if total is None else total + lg
+        return total
+
+    row = _timed_calls(sequential_votes, calls=10)
+    row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
+    res["cls_b16_vote12_sequential"] = row
+    print("cls_b16_vote12_sequential", json.dumps(row), flush=True)
 
     # whole-scene segmentation serving
     from pointnet2_tpu.data.procedural_scannet import generate_scenes

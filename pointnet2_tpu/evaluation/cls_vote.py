@@ -14,24 +14,42 @@ import numpy as np
 from pointnet2_tpu.data import augment as A
 
 
+def vote_views(pts: np.ndarray, num_votes: int, rng) -> np.ndarray:
+    """The protocol's num_votes views of a batch, stacked along batch:
+    view v is the batch point-order-shuffled (one shared permutation per
+    vote, diversifying the FPS seeds) and rotated about the up axis by
+    v/num_votes * 2*pi (normal-aware for 6-channel clouds). Returns
+    (num_votes * B, N, C); rows [v*B:(v+1)*B] are vote v."""
+    num_point = pts.shape[1]
+    views = []
+    for vote_idx in range(num_votes):
+        shuffled = rng.permutation(num_point)
+        views.append(A.rotate_point_cloud_by_angle(
+            pts[:, shuffled, :], vote_idx / float(num_votes) * np.pi * 2))
+    return np.concatenate(views, axis=0)
+
+
 def vote_logits(eval_logits_fn, pts: np.ndarray, num_votes: int,
                 rng=None) -> np.ndarray:
     """Summed logits over the reference's voting protocol
     (evaluate.py:126-141): per vote, shuffle the point order (diversifies
     the FPS seeds) and rotate about the up axis by vote/num_votes * 2*pi
     (normal-aware for 6-channel clouds). Shared by the eval protocol below
-    and serving.Predictor.predict_votes."""
+    and serving.Predictor.predict_votes.
+
+    All votes are stacked along the BATCH axis and scored in ONE
+    eval_logits_fn call (the reference loops sess.run per vote,
+    evaluate.py:126): on this platform a dispatch costs ~30-60 ms of
+    transport round trip against ~4 ms of compute for a B=16 cls batch,
+    so the per-vote loop was ~13x slower than its compute
+    (SERVING_r04.json); votes are embarrassingly batchable.
+    """
     rng = rng if isinstance(rng, np.random.Generator) else \
         np.random.default_rng(rng)
-    num_point = pts.shape[1]
-    total = None
-    for vote_idx in range(num_votes):
-        shuffled = rng.permutation(num_point)
-        rotated = A.rotate_point_cloud_by_angle(
-            pts[:, shuffled, :], vote_idx / float(num_votes) * np.pi * 2)
-        logits = np.asarray(eval_logits_fn(rotated), np.float64)
-        total = logits if total is None else total + logits
-    return total
+    B = pts.shape[0]
+    stacked = vote_views(pts, num_votes, rng)
+    logits = np.asarray(eval_logits_fn(stacked), np.float64)
+    return logits.reshape(num_votes, B, -1).sum(axis=0)
 
 
 def evaluate_cls_voting(eval_logits_fn, dataset, num_votes: int = 12,

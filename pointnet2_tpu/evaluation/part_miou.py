@@ -136,7 +136,12 @@ def evaluate_part_seg_voting(eval_logits_fn, dataset, num_votes: int = 12,
     per-point logits are scattered back to the original order before
     summing, so votes stay point-aligned.
 
-    eval_logits_fn(batch dict) -> (B, N, NUM_PARTS) logits.
+    eval_logits_fn(batch dict) -> (B, N, NUM_PARTS) logits. All votes are
+    stacked along the BATCH axis and scored in ONE call per eval batch
+    (the reference loops sess.run per vote, part_seg/evaluate.py:138-144;
+    on this platform's ~30-60 ms dispatch round trip the per-vote loop was
+    ~13x its compute — SERVING_r04.json); non-point batch entries
+    (cls_label, seg) are tiled to match.
     """
     from pointnet2_tpu.evaluation.lockstep import lockstep_batches
     from pointnet2_tpu.parallel import multihost
@@ -146,12 +151,18 @@ def evaluate_part_seg_voting(eval_logits_fn, dataset, num_votes: int = 12,
     metrics = PartSegMetrics()
     for batch in lockstep_batches(dataset, multihost):
         pts, seg, nvalid = batch["points"], batch["seg"], batch["nvalid"]
-        N = pts.shape[1]
-        pred_sum = np.zeros((pts.shape[0], N, NUM_PARTS), np.float64)
-        for _ in range(num_votes):
-            perm = rng.permutation(N)
-            logits = np.asarray(
-                eval_logits_fn(dict(batch, points=pts[:, perm])), np.float64)
-            pred_sum[:, perm, :] += logits
+        B, N = pts.shape[:2]
+        perms = [rng.permutation(N) for _ in range(num_votes)]
+        vote_batch = {k: np.concatenate([np.asarray(v)] * num_votes, axis=0)
+                      for k, v in batch.items() if k != "nvalid"}
+        vote_batch["points"] = np.concatenate([pts[:, p] for p in perms],
+                                              axis=0)
+        logits = np.asarray(eval_logits_fn(vote_batch), np.float64)
+        logits = logits.reshape(num_votes, B, N, -1)
+        pred_sum = np.zeros((B, N, NUM_PARTS), np.float64)
+        for v, perm in enumerate(perms):
+            # scatter each vote's per-point logits back to the original
+            # point order so votes stay point-aligned
+            pred_sum[:, perm, :] += logits[v]
         metrics.update(pred_sum[:nvalid], seg[:nvalid])
     return metrics.allreduced().result(log_fn)

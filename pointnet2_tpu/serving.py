@@ -156,7 +156,12 @@ class Predictor:
         """Vote-ensembled logits for classification models: per vote,
         shuffle the point order (diversifies FPS) and rotate about the up
         axis by vote/num_votes * 2pi, then sum — the same protocol (and
-        shared code) as evaluation.cls_vote (evaluate.py:126-141)."""
+        shared code) as evaluation.cls_vote (evaluate.py:126-141).
+
+        The num_votes views are stacked along the batch axis and flow
+        through the bucketed compiled path as ONE oversized request
+        (ceil(V*B / max_bucket) dispatches instead of V), so the dispatch
+        round trip is amortized — size `buckets` to V*B to reach one."""
         from pointnet2_tpu.evaluation.cls_vote import vote_logits
 
         if self.task != "cls":
