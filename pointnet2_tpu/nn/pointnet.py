@@ -28,6 +28,7 @@ from pointnet2_tpu.ops import (
     knn_point,
     query_ball_and_group_xyz,
     query_ball_point,
+    query_ball_point_multi,
     three_interpolate,
     three_nn,
 )
@@ -278,9 +279,13 @@ class SetAbstractionMSG(nn.Module):
                 src = cpoints
             feat_width = 0 if cpoints is None else cpoints.shape[-1]
             center_needed = cpoints is None or self.use_xyz
-            for mlp_mod, radius, nsample in zip(
-                    self.mlp_mods, self.radius_list, self.nsample_list):
-                idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
+            # one fused distance-tile pass emits every scale's indices
+            # (the reference loops a full ball query per radius,
+            # utils/pointnet_util.py:168)
+            idx_cnt = query_ball_point_multi(tuple(self.radius_list),
+                                             tuple(self.nsample_list),
+                                             xyz, new_xyz)
+            for mlp_mod, (idx, _) in zip(self.mlp_mods, idx_cnt):
                 grouped = group_point(mlp_mod.lift_first(src), idx)
                 if center_needed:
                     cw = _lifted_center_term(mlp_mod, new_xyz, feat_width,

@@ -7,6 +7,7 @@ from pointnet2_tpu.ops.sampling import (  # noqa: F401
 )
 from pointnet2_tpu.ops.grouping import (  # noqa: F401
     query_ball_point,
+    query_ball_point_multi,
     query_ball_and_group_xyz,
     group_point,
     knn_point,

@@ -83,6 +83,32 @@ def query_ball_point(radius: float, nsample: int, xyz1: jax.Array, xyz2: jax.Arr
     return _ball_query_xla(radius, nsample, xyz1, xyz2)
 
 
+def query_ball_point_multi(radii, nsamples, xyz1: jax.Array,
+                           xyz2: jax.Array, impl: str | None = None):
+    """Ball query at several radii over the SAME (dataset, queries) pair.
+
+    Semantically identical to ``[query_ball_point(r, ns, xyz1, xyz2) for
+    r, ns in zip(radii, nsamples)]`` (the reference's MSG loop,
+    utils/pointnet_util.py:168), but the Pallas path computes the
+    (query, dataset) squared-distance tile ONCE and reruns only the
+    per-radius rank-cumsum/slot machinery on the in-VMEM tile — the MSG
+    stacks' 3 standalone queries each rebuilt the identical tile.
+
+    Returns a tuple of (idx (B,M,nsample_i) i32, cnt (B,M) i32) pairs.
+    """
+    xyz1 = jax.lax.stop_gradient(xyz1)
+    xyz2 = jax.lax.stop_gradient(xyz2)
+    if config.resolve_impl(impl) == "pallas":
+        from pointnet2_tpu.ops.pallas.ball_query import (
+            ball_query_multi_pallas,
+        )
+
+        return ball_query_multi_pallas(tuple(radii), tuple(nsamples),
+                                       xyz1, xyz2)
+    return tuple(_ball_query_xla(r, ns, xyz1, xyz2)
+                 for r, ns in zip(radii, nsamples))
+
+
 def query_ball_and_group_xyz(radius: float, nsample: int, xyz1: jax.Array,
                              xyz2: jax.Array, impl: str | None = None):
     """Fused ball query + neighbor-coordinate gather (one kernel pass).

@@ -243,6 +243,133 @@ def ball_query_pallas(radius: float, nsample: int, xyz1: jax.Array,
     return _run(radius, nsample, xyz1, xyz2, with_xyz=False)
 
 
+def _select_slots(rank, total, nsample: int):
+    """Scan-order slot extraction from a rank vector (see module docstring):
+    slot k's dataset index == #lanes with rank <= k; pad with the first hit
+    (index 0 for an empty ball). Returns (idx (TM, nsample) i32,
+    cnt (TM, 1) i32)."""
+    TM = rank.shape[0]
+
+    def slot_count(k):
+        return jnp.sum((rank <= jnp.float32(k)).astype(jnp.int32), axis=1,
+                       keepdims=True)
+
+    idx0 = jnp.where(total > 0, slot_count(0), 0)
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (TM, nsample), 1)
+    chunk = 8 if nsample % 8 == 0 else 1
+
+    def slot_chunk(k0, acc):
+        for dk in range(chunk):
+            k = k0 * chunk + dk
+            has = total > k
+            write = slot_col == k
+            acc = jnp.where(write, jnp.where(has, slot_count(k), idx0), acc)
+        return acc
+
+    idx = jax.lax.fori_loop(0, nsample // chunk, slot_chunk,
+                            jnp.zeros((TM, nsample), jnp.int32))
+    return idx, jnp.minimum(total, nsample).astype(jnp.int32)
+
+
+def _ball_query_multi_kernel(q_ref, d_ref, *out_refs, r2s, nsamples,
+                             n_real: int):
+    """Multi-radius ball query on ONE in-VMEM distance tile.
+
+    The MSG stacks issue one ball query per radius over the SAME
+    (query, dataset) pair (utils/pointnet_util.py:168 loops radius_list);
+    each standalone kernel rebuilds the identical (TM, Np) squared-distance
+    tile and re-DMAs the inputs. Here the tile is computed once; only the
+    per-radius mask -> MXU rank cumsum -> slot extraction reruns (those
+    are mask-specific: the scan-order slots of radius r cannot be derived
+    from another radius's slots, even nested)."""
+    q = q_ref[0]  # (TM, 3)
+    xyz = d_ref[0]  # (3, Np)
+    x = xyz[0:1, :]
+    y = xyz[1:2, :]
+    z = xyz[2:3, :]
+    TM = q.shape[0]
+    Np = x.shape[1]
+
+    d2 = (jnp.square(q[:, 0:1] - x) + jnp.square(q[:, 1:2] - y)
+          + jnp.square(q[:, 2:3] - z))  # (TM, Np) — computed ONCE
+    col = jax.lax.broadcasted_iota(jnp.int32, (TM, Np), 1)
+    use_mxu = Np % _CUMSUM_CHUNK == 0 or Np <= _CUMSUM_CHUNK
+
+    for ri, (r2, nsample) in enumerate(zip(r2s, nsamples)):
+        mask = (d2 < r2) & (col < n_real)
+        if use_mxu:
+            rank = _cumsum_lanes_mxu(mask)
+        else:
+            rank = _cumsum_lanes_vpu(mask.astype(jnp.int32), col).astype(
+                jnp.float32)
+        total = rank[:, -1:].astype(jnp.int32)
+        idx, cnt = _select_slots(rank, total, nsample)
+        out_refs[2 * ri][0] = idx
+        out_refs[2 * ri + 1][0] = cnt
+
+
+@partial(jax.jit, static_argnames=("radii", "nsamples"))
+def ball_query_multi_pallas(radii: tuple, nsamples: tuple, xyz1: jax.Array,
+                            xyz2: jax.Array):
+    """Fused multi-radius ball query (one distance-tile pass for all radii).
+
+    xyz1: (B,N,3) dataset, xyz2: (B,M,3) queries; radii/nsamples are
+    equal-length tuples. Returns a tuple of (idx (B,M,nsample_i) i32,
+    cnt (B,M) i32) pairs, each bit-identical to
+    ``ball_query_pallas(radii[i], nsamples[i], xyz1, xyz2)``.
+    """
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+
+    Np = _round_up(N, _LANE)
+    budget = 1 << 18
+    TM = max(8, min(M, budget // Np))
+    TM = (TM // 8) * 8 if TM >= 8 else 8
+    Mp = _round_up(M, TM)
+
+    xyz1_t = jnp.moveaxis(xyz1, -1, 1)  # (B, 3, N)
+    if Np != N:
+        pad = jnp.broadcast_to(xyz1_t[:, :, :1], (B, 3, Np - N))
+        xyz1_t = jnp.concatenate([xyz1_t, pad], axis=-1)
+    if Mp != M:
+        padq = jnp.broadcast_to(xyz2[:, :1, :], (B, Mp - M, 3))
+        xyz2 = jnp.concatenate([xyz2, padq], axis=1)
+
+    out_specs = []
+    out_shape = []
+    for ns in nsamples:
+        out_specs += [
+            pl.BlockSpec((1, TM, ns), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 1), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, Mp, ns), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp, 1), jnp.int32),
+        ]
+
+    r2s = tuple(float(np.square(np.float32(r))) for r in radii)
+    outs = pl.pallas_call(
+        partial(_ball_query_multi_kernel, r2s=r2s,
+                nsamples=tuple(nsamples), n_real=N),
+        grid=(B, Mp // TM),
+        in_specs=[
+            pl.BlockSpec((1, TM, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=config.interpret_mode(),
+    )(xyz2, xyz1_t)
+    return tuple((outs[2 * i][:, :M], outs[2 * i + 1][:, :M, 0])
+                 for i in range(len(radii)))
+
+
 @partial(jax.jit, static_argnames=("radius", "nsample"))
 def ball_query_group_xyz_pallas(radius: float, nsample: int, xyz1: jax.Array,
                                 xyz2: jax.Array):

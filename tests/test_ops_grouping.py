@@ -317,3 +317,35 @@ def test_ball_query_impl_parity_at_radius_boundary():
         outs[impl] = (np.asarray(idx), np.asarray(cnt))
     np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
     np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "B,N,M,radii,nsamples",
+    [
+        (2, 128, 32, (0.1, 0.2, 0.4), (8, 16, 32)),
+        (3, 100, 17, (0.2, 0.4, 0.8), (16, 16, 8)),   # unpadded N, mixed ns
+        (1, 2048, 16, (0.1, 0.4), (16, 64)),          # multi-chunk MXU path
+    ],
+)
+def test_multi_radius_ball_query_matches_independent(rng, impl, B, N, M,
+                                                     radii, nsamples):
+    """query_ball_point_multi must be bit-identical to one query_ball_point
+    call per radius (the MSG stacks swap the per-radius loop for the fused
+    distance-tile pass on the strength of this equivalence)."""
+    from pointnet2_tpu.ops import query_ball_point_multi
+
+    xyz1 = rng.rand(B, N, 3).astype(np.float32)
+    qidx = rng.randint(0, N, (B, M))
+    xyz2 = np.stack([xyz1[b][qidx[b]] for b in range(B)])
+    outs = query_ball_point_multi(radii, nsamples, jnp.asarray(xyz1),
+                                  jnp.asarray(xyz2), impl=impl)
+    assert len(outs) == len(radii)
+    for (idx, cnt), r, ns in zip(outs, radii, nsamples):
+        widx, wcnt = query_ball_point(r, ns, jnp.asarray(xyz1),
+                                      jnp.asarray(xyz2), impl=impl)
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(wcnt))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+        gidx, gcnt = golden.ball_query_np(r, ns, xyz1, xyz2)
+        np.testing.assert_array_equal(np.asarray(cnt), gcnt)
+        np.testing.assert_array_equal(np.asarray(idx), gidx)
