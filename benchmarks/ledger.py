@@ -147,7 +147,7 @@ def bench_step_and_model(model_name, B, N, C, task, num_classes, rng, res):
             rng.randint(0, num_classes, (B, N)).astype(np.int32))
         smpw = jnp.ones((B, N), jnp.float32)
         batch = {"points": pts, "seg": label, "smpw": smpw}
-        aug = "sem_seg"
+        aug = "scannet"
         def loss_fn(logits):
             return spec.loss(logits, label, smpw)
 

@@ -28,7 +28,6 @@ from pointnet2_tpu.ops import (
     knn_point,
     query_ball_and_group_xyz,
     query_ball_point,
-    query_ball_point_multi,
     three_interpolate,
     three_nn,
 )
@@ -279,13 +278,16 @@ class SetAbstractionMSG(nn.Module):
                 src = cpoints
             feat_width = 0 if cpoints is None else cpoints.shape[-1]
             center_needed = cpoints is None or self.use_xyz
-            # one fused distance-tile pass emits every scale's indices
-            # (the reference loops a full ball query per radius,
-            # utils/pointnet_util.py:168)
-            idx_cnt = query_ball_point_multi(tuple(self.radius_list),
-                                             tuple(self.nsample_list),
-                                             xyz, new_xyz)
-            for mlp_mod, (idx, _) in zip(self.mlp_mods, idx_cnt):
+            # Per-radius ball queries, NOT the fused multi-radius kernel
+            # (ops.query_ball_point_multi): fusing the distance tile was
+            # measured slightly SLOWER end to end (benchmarks/
+            # probe_ballq_multi.py, docs/PERF.md negative result) — the
+            # shared tile is ~2-8% of the kernel's work (slot extraction
+            # costs ~2*nsample VPU ops/lane vs ~8 for the tile) and the
+            # fused variant holds more live VMEM per grid step.
+            for mlp_mod, radius, nsample in zip(
+                    self.mlp_mods, self.radius_list, self.nsample_list):
+                idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
                 grouped = group_point(mlp_mod.lift_first(src), idx)
                 if center_needed:
                     cw = _lifted_center_term(mlp_mod, new_xyz, feat_width,
