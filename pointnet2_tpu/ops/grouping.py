@@ -89,10 +89,17 @@ def query_ball_point_multi(radii, nsamples, xyz1: jax.Array,
 
     Semantically identical to ``[query_ball_point(r, ns, xyz1, xyz2) for
     r, ns in zip(radii, nsamples)]`` (the reference's MSG loop,
-    utils/pointnet_util.py:168), but the Pallas path computes the
+    utils/pointnet_util.py:168); the Pallas path computes the
     (query, dataset) squared-distance tile ONCE and reruns only the
-    per-radius rank-cumsum/slot machinery on the in-VMEM tile — the MSG
-    stacks' 3 standalone queries each rebuilt the identical tile.
+    per-radius rank-cumsum/slot machinery on the in-VMEM tile.
+
+    NOTE: measured on TPU v5e the fusion does NOT pay — the tile build
+    is ~2-8% of the kernel's work (slot extraction dominates at
+    ~2*nsample VPU ops per lane) and the fused kernel holds more live
+    VMEM, so it runs 1-27% slower than independent calls
+    (benchmarks/probe_ballq_multi.py; docs/PERF.md negative results).
+    The MSG stacks therefore use per-radius query_ball_point; this op is
+    kept as API surface for hardware where the balance differs.
 
     Returns a tuple of (idx (B,M,nsample_i) i32, cnt (B,M) i32) pairs.
     """
