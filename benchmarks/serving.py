@@ -86,18 +86,27 @@ def main() -> None:
     print("cls_b512_stream", json.dumps(row), flush=True)
 
     votes_in = rng.rand(16, N_CLS, 3).astype(np.float32)
-    # batch-stacked votes through the default buckets: 192 rows -> 3
-    # dispatches of the 64-bucket (r4 issued 12 dispatches, one per vote)
+    # default: ONE dispatch — batch uploaded once, the 12 views built on
+    # device from (V, N) permutations, logits summed before the fetch
     row = _timed_calls(lambda: cls.predict_votes(votes_in, 12), calls=20)
     row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
     res["cls_b16_vote12"] = row
     print("cls_b16_vote12", json.dumps(row), flush=True)
 
-    # one-dispatch variant: bucket sized to V*B
+    # host-stacked views through the default buckets: 192 uploaded rows,
+    # 3 dispatches of the 64-bucket (the mesh / multihost fallback path)
+    row = _timed_calls(
+        lambda: cls.predict_votes(votes_in, 12, on_device=False), calls=20)
+    row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
+    res["cls_b16_vote12_hoststack"] = row
+    print("cls_b16_vote12_hoststack", json.dumps(row), flush=True)
+
+    # host-stacked with a bucket sized to V*B: one dispatch, 12x upload
     cls_wide = _fresh_predictor("pointnet2_cls_ssg", N_CLS,
                                 buckets=(16, 192))
-    row = _timed_calls(lambda: cls_wide.predict_votes(votes_in, 12),
-                       calls=20)
+    row = _timed_calls(
+        lambda: cls_wide.predict_votes(votes_in, 12, on_device=False),
+        calls=20)
     row["clouds_per_sec"] = round(16 / (row["p50_ms"] / 1e3), 1)
     res["cls_b16_vote12_wide"] = row
     print("cls_b16_vote12_wide", json.dumps(row), flush=True)

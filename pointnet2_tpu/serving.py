@@ -76,6 +76,7 @@ class Predictor:
             # variables (e.g. an orbax restore) re-upload per request
             variables = jax.device_put(variables)
         self._variables = variables
+        self._vote_cache: dict[int, object] = {}
 
         def apply_fn(variables, *inputs):
             logits, _ = self._model.apply(variables, *inputs, train=False)
@@ -151,23 +152,78 @@ class Predictor:
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
-    def predict_votes(self, points, num_votes: int = 12,
-                      rng=None) -> np.ndarray:
+    def _vote_fn(self, num_votes: int):
+        """Compiled vote program: upload the batch ONCE plus (V, N) int32
+        permutations; the V shuffled+rotated views are built on device,
+        scored in one model call, and the logits summed over votes before
+        the fetch. One dispatch, ~1/V the input upload of the stacked
+        host-side path (the upload dominates vote latency on this
+        transport — docs/PERF.md r5)."""
+        fn = self._vote_cache.get(num_votes)
+        if fn is not None:
+            return fn
+        from pointnet2_tpu.data import augment_jax
+
+        def vote_apply(variables, pts, perms):
+            V = perms.shape[0]
+            B = pts.shape[0]
+            angles = (jnp.arange(V, dtype=jnp.float32)
+                      / V * 2.0 * jnp.float32(np.pi))
+
+            def view(perm, angle):
+                return augment_jax.rotate_by_angle(
+                    jnp.take(pts, perm, axis=1), angle)
+
+            views = jax.vmap(view)(perms, angles)  # (V, B, N, C)
+            stacked = views.reshape((V * B,) + views.shape[2:])
+            logits, _ = self._model.apply(variables, stacked, train=False)
+            return logits.astype(jnp.float32).reshape(V, B, -1).sum(axis=0)
+
+        fn = jax.jit(vote_apply)
+        self._vote_cache[num_votes] = fn
+        return fn
+
+    def predict_votes(self, points, num_votes: int = 12, rng=None,
+                      on_device: bool = True) -> np.ndarray:
         """Vote-ensembled logits for classification models: per vote,
         shuffle the point order (diversifies FPS) and rotate about the up
-        axis by vote/num_votes * 2pi, then sum — the same protocol (and
-        shared code) as evaluation.cls_vote (evaluate.py:126-141).
+        axis by vote/num_votes * 2pi, then sum — the same protocol as
+        evaluation.cls_vote (evaluate.py:126-141).
 
-        The num_votes views are stacked along the batch axis and flow
-        through the bucketed compiled path as ONE oversized request
-        (ceil(V*B / max_bucket) dispatches instead of V), so the dispatch
-        round trip is amortized — size `buckets` to V*B to reach one."""
+        Default (`on_device=True`, single-device): the batch is padded to
+        a bucket and uploaded once with the (V, N) permutations; views,
+        model, and the vote sum all run in ONE dispatch. With
+        `on_device=False` (or on a mesh) the V views are stacked on the
+        host and stream through the bucketed path
+        (ceil(V*B / max_bucket) dispatches instead of V)."""
         from pointnet2_tpu.evaluation.cls_vote import vote_logits
 
         if self.task != "cls":
             raise ValueError("vote ensembling is a classification protocol")
-        return vote_logits(self, np.asarray(points, np.float32), num_votes,
-                           rng)
+        pts = np.asarray(points, np.float32)
+        rng = rng if isinstance(rng, np.random.Generator) else \
+            np.random.default_rng(rng)
+        if not on_device or self._mesh is not None or pts.shape[0] == 0:
+            return vote_logits(self, pts, num_votes, rng)
+        B, N = pts.shape[:2]
+        # same rng stream as vote_views: one permutation per vote, in order
+        perms = jnp.asarray(
+            np.stack([rng.permutation(N) for _ in range(num_votes)]),
+            jnp.int32)
+        fn = self._vote_fn(num_votes)
+        out = []
+        max_bucket = self._buckets[-1]
+        for s in range(0, B, max_bucket):
+            part = pts[s:s + max_bucket]
+            b = part.shape[0]
+            bucket = self._bucket_for(b)
+            if b < bucket:
+                pad = np.broadcast_to(part[:1],
+                                      (bucket - b,) + part.shape[1:])
+                part = np.concatenate([part, pad], axis=0)
+            summed = fn(self._variables, jnp.asarray(part), perms)
+            out.append(np.asarray(summed, np.float64)[:b])
+        return np.concatenate(out, axis=0)
 
     def predict_scene(self, points, npoints: int = 8192,
                       seed: int = 0) -> dict:

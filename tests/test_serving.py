@@ -160,3 +160,18 @@ def test_predict_scene_empty_scene():
     out = pred.predict_scene(np.zeros((0, 3), np.float32), npoints=128)
     assert out["labels"].shape == (0,)
     assert out["votes"].shape == (0,)
+
+
+def test_predict_votes_on_device_matches_host_path(rng):
+    """The one-dispatch device-side vote program (views built on device
+    from uploaded permutations) must match the host-stacked protocol
+    path given the same rng stream (same perms, same 2*pi*v/V angles)."""
+    variables = _init_variables("pointnet2_cls_ssg")
+    pred = Predictor("pointnet2_cls_ssg", variables, dtype=None,
+                     buckets=(4,))
+    pts = rng.rand(3, 128, 3).astype(np.float32)
+    dev = pred.predict_votes(pts, num_votes=3, rng=0, on_device=True)
+    host = pred.predict_votes(pts, num_votes=3, rng=0, on_device=False)
+    assert dev.shape == host.shape == (3, 40)
+    # identical protocol; only f32 rotation round-off differs
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
