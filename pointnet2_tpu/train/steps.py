@@ -90,7 +90,8 @@ def make_train_step(model, loss_fn, tx, bn_momentum_fn, task: str = "cls",
 
 def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
                           task: str = "cls", mesh: Mesh | None = None,
-                          augment: str = "none", remat: str = "none"):
+                          augment: str = "none", remat: str = "none",
+                          unroll: int = 1):
     """Build a jitted K-steps-per-dispatch train step (lax.scan inside one
     executable).
 
@@ -100,6 +101,9 @@ def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
     :func:`make_train_step` (per-step augmentation/dropout RNG, BN momentum
     from the live step counter, grads pmean'd over the mesh); K is read
     from the batch stack, so one compiled executable per distinct K.
+    `unroll` is forwarded to lax.scan; on the headline step it measured
+    slightly SLOWER (9.79/9.96/10.09 ms/step at unroll 1/5/25) with 3-10x
+    the compile time (benchmarks/probe_scan_unroll.py) — keep the default.
     """
     augment_fn = AUGMENTATIONS[augment]
 
@@ -115,7 +119,7 @@ def make_train_multi_step(model, loss_fn, tx, bn_momentum_fn,
                                 jax.random.fold_in(rng, i), remat=remat)
 
         steps = jnp.arange(nsteps, dtype=jnp.int32)
-        return jax.lax.scan(body, state, (steps, batches))
+        return jax.lax.scan(body, state, (steps, batches), unroll=unroll)
 
     return _finalize(local_multi, mesh, P(None, DATA_AXIS))
 

@@ -368,3 +368,52 @@ def test_save_into_crashed_swap_state_keeps_resume_point(tmp_path, monkeypatch):
     assert meta is not None and meta["epoch"] == 1
     restored = ckpt.restore_checkpoint(str(tmp_path), state)
     assert int(restored.step) == int(state.step)
+
+
+def test_multi_step_unroll_matches_default():
+    """make_train_multi_step(unroll=U) must be semantics-preserving: same
+    per-step losses and final state as the default scan (the knob only
+    changes loop structure; measured slower on the headline step —
+    benchmarks/probe_scan_unroll.py — but kept for other shapes)."""
+    from pointnet2_tpu.models import MODEL_REGISTRY
+    from pointnet2_tpu.train.state import TrainState, make_optimizer
+    from pointnet2_tpu.train.steps import make_train_multi_step
+
+    rng = np.random.RandomState(0)
+    K, B, N = 4, 4, 64
+    spec = MODEL_REGISTRY["pointnet2_cls_ssg"]
+    model = spec.cls()
+    batches = {
+        "points": jnp.asarray(rng.rand(K, B, N, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, (K, B)).astype(np.int32)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batches["points"][0], train=False)
+    tx = make_optimizer("adam", exponential_decay_clipped(1e-3, B, 200000,
+                                                          0.7))
+    bn_fn = bn_momentum_schedule(B, 200000)
+    state0 = TrainState(step=jnp.zeros((), jnp.int32),
+                        params=variables["params"],
+                        batch_stats=variables["batch_stats"],
+                        opt_state=tx.init(variables["params"]))
+    outs = {}
+    for unroll in (1, 2, K):
+        step = make_train_multi_step(model, spec.loss, tx, bn_fn,
+                                     task="cls", augment="cls",
+                                     unroll=unroll)
+        st = jax.tree_util.tree_map(jnp.copy, state0)
+        st, metrics = step(st, batches, jax.random.PRNGKey(7))
+        outs[unroll] = (np.asarray(metrics["loss"]), st)
+    for unroll in (2, K):
+        # unrolled bodies fuse/reassociate reductions differently, so
+        # agreement is numerical, not bitwise; Adam further amplifies
+        # tiny grad diffs into O(lr) update flips, so params get a drift
+        # bound, not elementwise closeness
+        np.testing.assert_allclose(outs[unroll][0], outs[1][0],
+                                   rtol=1e-3, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_less(
+                np.max(np.abs(np.asarray(a) - np.asarray(b))), 5e-3),
+            outs[unroll][1].params, outs[1][1].params)
+        assert int(outs[unroll][1].step) == K
