@@ -126,6 +126,47 @@ def bench_fp(name, B, mlp, N, M, C1, C2, rng, res):
     print(name, json.dumps(res[name]), flush=True)
 
 
+def bench_head(name, widths, in_shape, rng, res):
+    """The model's prediction head as its own ledger stage: a DenseBN
+    chain with dropout between layers and a BN-free linear final layer
+    (cls_ssg.py fc1-fc3 on the (B, 1024) pooled vector; sem_seg.py
+    fc1-fc2 on all (B, N, 128) points), fwd+bwd with dropout active as
+    in training."""
+    import flax.linen as nn
+
+    from pointnet2_tpu.nn.layers import DenseBN
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            for i, w in enumerate(widths[:-1]):
+                x = DenseBN(w, dtype=DT, name=f"fc{i + 1}")(x, train, 0.9)
+                x = nn.Dropout(0.5, deterministic=not train)(x)
+            x = DenseBN(widths[-1], bn=False, activation=None,
+                        name=f"fc{len(widths)}")(x, train, 0.9)
+            return x.astype(jnp.float32)
+
+    head = Head()
+    feats = jnp.asarray(rng.rand(*in_shape).astype(np.float32))
+    v = jax.jit(lambda x: head.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, False))(feats)
+
+    def bwd(x):
+        def loss(params, x):
+            out, _ = head.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                True, rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.sum(jnp.square(out))
+        return jax.grad(loss, argnums=(0, 1))(v["params"], x)
+
+    row = {"fwd_bwd_ms": round(
+        max(time_op_loop(bwd, feats, iters=30), 1e-5) * 1e3, 3)}
+    res[name] = _floors(row, compiled_cost(jax.jit(bwd), feats))
+    print(name, json.dumps(res[name]), flush=True)
+
+
 def bench_step_and_model(model_name, B, N, C, task, num_classes, rng, res):
     """End-to-end rows: the full train step (with optimizer+augment) and
     the bare fwd+bwd (value_and_grad), so 'optimizer/augment/loss' is the
@@ -215,11 +256,10 @@ def run_cls(res_all):
     bench_sa("sa2", B, 128, 0.4, 64, (128, 128, 256), 512, 128, rng, res)
     bench_sa("sa3_group_all", B, None, None, None, (256, 512, 1024), 128,
              256, rng, res, group_all=True)
+    bench_head("head", (512, 256, 40), (B, 1024), rng, res)
     bench_step_and_model("pointnet2_cls_ssg", B, 1024, 3, "cls", 40, rng,
                          res)
-    res["summary"] = summarize(res, ["sa1", "sa2", "sa3_group_all"])
-    # the FC head is inside model_fwd_bwd but not a stage row; its cost is
-    # the decomposition gap (dense 1024->512->256->40 at B rows is tiny)
+    res["summary"] = summarize(res, ["sa1", "sa2", "sa3_group_all", "head"])
     print("summary", json.dumps(res["summary"]), flush=True)
     res_all["cls_ssg_b32"] = res
 
@@ -237,10 +277,12 @@ def run_semseg(res_all):
     bench_fp("fp2", B, (256, 256), 256, 64, 128, 256, rng, res)
     bench_fp("fp3", B, (256, 128), 1024, 256, 64, 256, rng, res)
     bench_fp("fp4", B, (128, 128, 128), 8192, 1024, 0, 128, rng, res)
+    bench_head("head", (128, 21), (B, 8192, 128), rng, res)
     bench_step_and_model("pointnet2_sem_seg", B, 8192, 3, "sem_seg", 21,
                          rng, res)
     res["summary"] = summarize(
-        res, ["sa1", "sa2", "sa3", "sa4", "fp1", "fp2", "fp3", "fp4"])
+        res, ["sa1", "sa2", "sa3", "sa4", "fp1", "fp2", "fp3", "fp4",
+              "head"])
     print("summary", json.dumps(res["summary"]), flush=True)
     res_all["sem_seg_b16"] = res
 
